@@ -1,0 +1,267 @@
+"""Configuration for dasa_tpu.
+
+A typed dataclass replaces the reference's module-global argparse singleton
+(reference: r2r_src/param.py:18-216).  Every reference flag that affects the
+DASA training/eval paths is present under the same (snake_case) name so the
+reference's README commands translate 1:1.  Unlike the reference, the config
+is an explicit value passed down the stack — nothing reads global state — so
+jitted programs can close over a frozen config without retracing hazards.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass
+class Config:
+    # General (param.py:23-25)
+    iters: int = 100_000
+    name: str = "default"
+    train: str = "listener"
+
+    # Data preparation (param.py:30-36)
+    max_input: int = 80           # --maxInput
+    max_decode: int = 120         # --maxDecode
+    max_action: int = 20          # --maxAction
+    batch_size: int = 64          # --batchSize
+    ignoreid: int = -100
+    feature_size: int = 2048
+    load_optim: bool = False      # --loadOptim
+
+    # Checkpoints to load (param.py:39-44)
+    speaker: Optional[str] = None
+    listener: Optional[str] = None
+    load: Optional[str] = None
+    aug: Optional[str] = None     # augmented-path json for auglistener
+
+    # Aux heads (param.py:47-54)
+    pred_back: bool = False
+    back_input: str = "pre"       # pre | cur
+    use_action_seq: bool = False
+    pred_pm: bool = False
+    pm_type: str = "att"          # att | att_hid | plain_att | plain_att_hid
+
+    # Listener training weights (param.py:57-64)
+    zero_init: bool = False
+    ml_weight: float = 0.05
+    ml_weight_org: float = 0.2
+    ml_weight_aug: float = 0.6
+    teacher_weight: float = 1.0
+    accumulate_grad: bool = False
+    features: str = "imagenet"
+    dfeatures: str = "imagenet"
+
+    # Env dropout (param.py:67)
+    featdropout: float = 0.3
+
+    # SSL / submission (param.py:70-77)
+    self_train: bool = False
+    candidates: int = 1
+    param_search: bool = False
+    submit: bool = False
+    beam: bool = False
+    alpha: float = 0.5
+
+    # Optimization (param.py:80-90)
+    optim: str = "rms"            # rms | adam | sgd | adamw
+    lr: float = 1e-4
+    weight_decay: float = 0.0
+    dropout: float = 0.5
+    feedback: str = "sample"      # teacher | sample | argmax
+    teacher: str = "final"
+    epsilon: float = 0.1
+    use_lr_scheduler: bool = False
+
+    # Model dims (param.py:93-109)
+    rnn_dim: int = 512
+    critic_dim: int = 512
+    wemb: int = 256
+    aemb: int = 64
+    proj: int = 512
+    fast_train: bool = False
+    bidir: bool = True
+    sub_out: str = "tanh"         # tanh | max
+    attn: str = "soft"
+    angle_feat_size: int = 4
+
+    # Encoder selection (param.py:112-117)
+    update_bert: bool = False
+    include_vision: bool = False
+    use_dropout_vision: bool = False
+    encoder_type: str = "EncoderLSTM"   # EncoderLSTM | Dic (cross-modal)
+    schedule_ratio: float = -1.0
+
+    # DicEncoder / DicModel (param.py:121-137)
+    d_hidden_size: int = 1024
+    d_ctx_size: int = 2048
+    d_enc_hidden_size: int = 768
+    d_dropout_ratio: float = 0.4
+    d_bidirectional: bool = True
+    d_transformer_update: bool = False   # update lang-BERT weights
+    d_update_add_layer: bool = False     # update cross-modal layers
+    d_bert_n_layers: int = 1
+    d_reverse_input: bool = True
+    d_top_lstm: bool = True
+    d_vl_layers: int = 4
+    d_la_layers: int = 9
+    d_v_layers: int = 0
+    d_bert_type: str = "small"           # small (768) | large (1024)
+    pretrain_model_name: Optional[str] = None
+    pretrain_model_type: str = "DicAddActionPreTrain"
+
+    # Schedules / logging (param.py:138-146)
+    log_every: int = 100
+    warm_steps: int = 1000
+    decay_start: int = 4000
+    decay_intervals: int = 2000
+    lr_decay: float = 0.2
+    val_every: int = 1000
+    save_every: int = 5000
+    is_test: bool = False
+
+    # A2C (param.py:150-151)
+    gamma: float = 0.9
+    normalize_loss: str = "total"  # total | batch | none
+
+    # Mini dataset / agent selection (param.py:155-159)
+    mini: bool = False
+    agent_type: str = "default"
+
+    # Pretraining (param.py:162-168)
+    word_mask_rate: float = 0.15
+    tasks: str = "lmask"
+    lmask_weight: float = 1.0
+    action_weight: float = 1.0
+    pm_weight: float = 1.0
+    back_weight: float = 1.0
+
+    # Depth-guided AdaIN (param.py:171-178)
+    depth_index_file: str = "data/viewpointIds.npy"
+    depth_value_file: str = "data/ResNet-152-imagenet-depth.npy"
+    adain_type: str = "none"       # none|default|channel|coco_channel|meanchannel|
+                                   # rgb_channel|rgb_meanchannel|rgb_stat_channel|depth_stat_channel
+    ab_type: str = "ab"            # ab | a | b
+    a_type: Optional[str] = None   # sigmoid | gumbel_sigmoid | None
+    env_drop_stage: str = "after_adain"  # before_adain | after_adain
+    depth_drop: bool = False
+
+    # Shift attention (param.py:181-184)
+    use_shift: bool = False
+    shift_kernel_size: int = 3
+
+    # Consistent dropout (param.py:187-190)
+    consistent_drop: bool = False
+    decoder_consistent_drop: bool = False
+
+    # Contextualized view (param.py:195)
+    ctx_v: bool = False
+
+    # ---- dasa_tpu-specific ----
+    seed: int = 10
+    views: int = 36                # panorama views (12 headings x 3 elevations)
+    max_candidates: int = 16       # fixed candidate padding incl. STOP slot
+                                   # (max graph degree across 90 scans is 13)
+    data_dir: str = "data/task"    # R2R_{split}.json location
+    connectivity_dir: str = "/root/reference/connectivity"
+    img_features_path: Optional[str] = None   # .npz feature store; None => synthetic
+    depth_features_path: Optional[str] = None
+    vocab_path: Optional[str] = None
+    log_dir: str = "snap"
+    compute_dtype: str = "bfloat16"   # activations dtype on TPU
+    param_dtype: str = "float32"
+    use_pallas: str = "auto"          # auto | never | always
+    snap_dir: str = "snap"
+    result_dir: str = "results"
+    cache_text_encoder: bool = True   # run the 9 text-only BERT layers once per
+                                      # episode instead of once per step (exact
+                                      # when update_lang_bert is False; the
+                                      # reference recomputes them every step —
+                                      # agent_dg.py:789-797)
+    sim_backend: str = "auto"         # auto | native | python
+
+    # -- derived --
+    def __post_init__(self):
+        if self.angle_feat_size % 4 != 0:
+            raise ValueError("angle_feat_size must be a multiple of 4")
+
+    @property
+    def feature_all_size(self) -> int:
+        return self.feature_size + self.angle_feat_size
+
+    @property
+    def bert_hidden_size(self) -> int:
+        return 1024 if self.d_bert_type == "large" else 768
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, default=str)
+
+
+# CLI aliases matching the reference's exact flag spellings (param.py).
+_REF_ALIASES = {
+    "maxInput": "max_input",
+    "maxDecode": "max_decode",
+    "maxAction": "max_action",
+    "batchSize": "batch_size",
+    "loadOptim": "load_optim",
+    "zeroInit": "zero_init",
+    "mlWeight": "ml_weight",
+    "mlWeight_org": "ml_weight_org",
+    "mlWeight_aug": "ml_weight_aug",
+    "teacherWeight": "teacher_weight",
+    "accumulateGrad": "accumulate_grad",
+    "selfTrain": "self_train",
+    "paramSearch": "param_search",
+    "decay": "weight_decay",
+    "rnnDim": "rnn_dim",
+    "subout": "sub_out",
+    "angleFeatSize": "angle_feat_size",
+    "encoderType": "encoder_type",
+    "adaIn_type": "adain_type",
+    "normalize": "normalize_loss",
+    "fast": "fast_train",
+    "candidate": "candidate_mask",
+}
+
+_BOOL_FIELDS = {
+    f.name for f in dataclasses.fields(Config) if f.type in ("bool", bool)
+}
+
+
+def parse_args(argv=None) -> Config:
+    """Build a Config from CLI args, accepting both snake_case names and the
+    reference's camelCase spellings (e.g. --batchSize and --batch_size)."""
+    parser = argparse.ArgumentParser(description="dasa_tpu")
+    defaults = Config()
+    for f in dataclasses.fields(Config):
+        name = f.name
+        default = getattr(defaults, name)
+        if name in _BOOL_FIELDS:
+            parser.add_argument(f"--{name}", action="store_const",
+                                const=True, default=default)
+            parser.add_argument(f"--no_{name}", dest=name,
+                                action="store_const", const=False)
+        else:
+            typ = type(default) if default is not None else str
+            parser.add_argument(f"--{name}", type=typ, default=default)
+    # alias flags
+    for ref_name, attr in _REF_ALIASES.items():
+        if attr not in {f.name for f in dataclasses.fields(Config)}:
+            continue
+        if attr in _BOOL_FIELDS:
+            parser.add_argument(f"--{ref_name}", dest=attr,
+                                action="store_const", const=True)
+        else:
+            default = getattr(defaults, attr)
+            typ = type(default) if default is not None else str
+            parser.add_argument(f"--{ref_name}", dest=attr, type=typ)
+    ns = parser.parse_args(argv)
+    kw = {f.name: getattr(ns, f.name) for f in dataclasses.fields(Config)}
+    return Config(**kw)
