@@ -1,0 +1,140 @@
+"""Instruction encoders.
+
+- :class:`EncoderLSTM` — the plain-path encoder (reference:
+  r2r_src/model.py:16-86).
+- :class:`DicEncoder` — the DASA path: DicModel cross-modal BERT, optional
+  masked input reversal, top bidirectional LSTM, projections to decoder
+  dims (reference: r2r_src/r2rmodel.py:2199-2365).
+
+The masked LSTM removes the reference's length-sort/permute requirement
+(agent_dg.py:262-284): batches stay in env order.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dasa_tpu.models.bert import BertConfig, DicModel
+from dasa_tpu.models.layers import BiLSTM
+
+Dtype = Any
+
+
+class EncoderLSTM(nn.Module):
+    """Embedding -> bidir LSTM -> (ctx, decoder_init, c_t)."""
+
+    vocab_size: int
+    embedding_size: int
+    hidden_size: int          # per-direction when bidirectional
+    dropout_ratio: float
+    bidirectional: bool = True
+    sub_out: str = "tanh"     # tanh | max (model.py:76-82)
+    zero_init: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs, valid_mask, *, deterministic: bool = True):
+        x = nn.Embed(self.vocab_size, self.embedding_size, dtype=self.dtype,
+                     name="embedding")(inputs)
+        x = nn.Dropout(self.dropout_ratio)(x, deterministic=deterministic)
+        if self.bidirectional:
+            ctx, (h_t, c_t) = BiLSTM(self.hidden_size, self.dtype,
+                                     name="lstm")(x, valid_mask)
+        else:
+            from dasa_tpu.models.layers import LSTM
+            ctx, (h_t, c_t) = LSTM(self.hidden_size, dtype=self.dtype,
+                                   name="lstm")(x, valid_mask)
+        out_dim = h_t.shape[-1]
+        e2d = nn.Dense(out_dim, dtype=self.dtype, name="encoder2decoder")
+        if self.sub_out == "max":
+            ctx_max = jnp.where(valid_mask[..., None], ctx, -jnp.inf).max(1)
+            decoder_init = jnp.tanh(e2d(ctx_max))
+        else:
+            decoder_init = jnp.tanh(e2d(h_t))
+        ctx = nn.Dropout(self.dropout_ratio)(ctx, deterministic=deterministic)
+        if self.zero_init:
+            return ctx, jnp.zeros_like(decoder_init), jnp.zeros_like(c_t)
+        return ctx, decoder_init, c_t
+
+
+def reverse_valid_tokens(embeds, valid_mask, seq_len):
+    """Reverse each row's first seq_len tokens in place, zeroing pads —
+    the reference's masked scatter reversal (r2rmodel.py:2326-2330)."""
+    length = embeds.shape[1]
+    j = jnp.arange(length)[None, :]
+    src = jnp.clip(seq_len[:, None] - 1 - j, 0, length - 1)
+    rev = jnp.take_along_axis(embeds, src[:, :, None], axis=1)
+    return jnp.where(valid_mask[:, :, None], rev, 0.0)
+
+
+class DicEncoder(nn.Module):
+    """DicModel + top LSTM instruction encoder for the DG agent."""
+
+    bert_config: BertConfig
+    hidden_size: int           # d_enc_hidden_size (per direction)
+    dec_hidden_size: int       # d_hidden_size
+    dropout_ratio: float       # d_dropout_ratio
+    bidirectional: bool = True
+    reverse_input: bool = True
+    top_lstm: bool = True
+    ctx_v: bool = False
+    ctx_v_dim: int = 2176
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.bert = DicModel(self.bert_config, self.dtype)
+        self.drop = nn.Dropout(self.dropout_ratio)
+        if self.top_lstm:
+            if self.bidirectional:
+                self.lstm = BiLSTM(self.hidden_size, self.dtype)
+            else:
+                from dasa_tpu.models.layers import LSTM
+                self.lstm = LSTM(self.hidden_size, dtype=self.dtype)
+        num_dir = 2 if self.bidirectional else 1
+        self.encoder2decoder_ht = nn.Dense(self.dec_hidden_size, dtype=self.dtype)
+        self.encoder2decoder_ct = nn.Dense(self.dec_hidden_size, dtype=self.dtype)
+        self.encoder_lstm2decoder_ht = nn.Dense(self.dec_hidden_size,
+                                                dtype=self.dtype)
+        self.encoder_lstm2decoder_ct = nn.Dense(self.dec_hidden_size,
+                                                dtype=self.dtype)
+        if self.ctx_v:
+            self.ctx_v_to_v = nn.Dense(self.ctx_v_dim, dtype=self.dtype)
+        self._num_dir = num_dir
+
+    def text_forward(self, inputs, valid_mask, *, deterministic=True):
+        """Cacheable text-only stack (exact to re-running per step when
+        update_lang_bert is False)."""
+        return self.bert.text_forward(
+            inputs, valid_mask.astype(jnp.int32),
+            deterministic=deterministic)
+
+    def __call__(self, text_embeds, valid_mask, seq_len, f_t_all=None, *,
+                 deterministic: bool = True):
+        """text_embeds: output of text_forward (B, L, H_bert).
+        Returns (ctx, decoder_init, c_t, ctx_v)."""
+        embeds, pooled, visn = self.bert.cross_forward(
+            text_embeds, valid_mask.astype(jnp.int32), f_t_all,
+            deterministic=deterministic)
+
+        if self.reverse_input:
+            embeds = reverse_valid_tokens(embeds, valid_mask, seq_len)
+
+        if not self.top_lstm:
+            ctx = embeds
+            c_t = self.encoder2decoder_ct(embeds[:, -1])
+            decoder_init = jnp.tanh(self.encoder2decoder_ht(pooled))
+        else:
+            ctx, (h_t, c_t) = self.lstm(embeds, valid_mask)
+            decoder_init = jnp.tanh(self.encoder_lstm2decoder_ht(h_t))
+            if self.hidden_size * self._num_dir != self.dec_hidden_size:
+                c_t = self.encoder_lstm2decoder_ct(c_t)
+
+        ctx = self.drop(ctx, deterministic=deterministic)
+        ctx_v = None
+        if self.ctx_v and visn is not None:
+            ctx_v = self.ctx_v_to_v(visn)
+        return ctx, decoder_init, c_t, ctx_v

@@ -1,0 +1,221 @@
+"""Core neural layers: LSTMs and the attention family.
+
+Functional JAX re-design of the reference building blocks
+(r2r_src/model.py:16-353): masked `lax.scan` LSTMs replace PackedSequence,
+dropout takes explicit RNG, and shift attention's per-sample grouped conv
+(model.py:300-353) becomes a static unrolled window sum that XLA fuses
+into the surrounding softmax/weighted-sum — no batch-as-groups conv trick
+needed on TPU.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def _uniform_symmetric(scale: float) -> Callable:
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -scale, scale)
+
+    return init
+
+
+NEG_INF = -1e9  # softmax mask value (finite to keep grads NaN-free)
+
+
+class LstmCell(nn.Module):
+    """LSTM cell with torch gate order (i, f, g, o) and uniform
+    +-1/sqrt(H) init, so training dynamics and (later) checkpoint import
+    match the reference's nn.LSTMCell."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry: Tuple[jnp.ndarray, jnp.ndarray],
+                 x: jnp.ndarray):
+        h, c = carry
+        hidden = self.features
+        k = 1.0 / math.sqrt(hidden)
+        wi = self.param("wi", _uniform_symmetric(k), (x.shape[-1], 4 * hidden))
+        wh = self.param("wh", _uniform_symmetric(k), (hidden, 4 * hidden))
+        b = self.param("b", _uniform_symmetric(k), (4 * hidden,))
+        gates = (
+            x.astype(self.dtype) @ wi.astype(self.dtype)
+            + h.astype(self.dtype) @ wh.astype(self.dtype)
+            + b.astype(self.dtype)
+        )
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        new_c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        new_h = jax.nn.sigmoid(o) * jnp.tanh(new_c)
+        return (new_h, new_c), new_h
+
+
+class LSTM(nn.Module):
+    """Masked unidirectional LSTM over (B, T, D).
+
+    `mask` is True at *valid* positions; masked steps pass the carry
+    through untouched and emit zeros, reproducing PackedSequence
+    semantics: the final carry equals the state at each sequence's last
+    valid token (and, run reversed, at its first)."""
+
+    features: int
+    reverse: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
+                 init_carry=None):
+        batch = x.shape[0]
+        if init_carry is None:
+            zeros = jnp.zeros((batch, self.features), self.dtype)
+            init_carry = (zeros, zeros)
+        if self.reverse:
+            x = jnp.flip(x, axis=1)
+            mask = jnp.flip(mask, axis=1)
+
+        cell = LstmCell(self.features, self.dtype)
+
+        def step(cell, carry, xs):
+            x_t, m_t = xs
+            new_carry, y = cell(carry, x_t)
+            m = m_t[:, None].astype(y.dtype)
+            carry = jax.tree_util.tree_map(
+                lambda new, old: m * new + (1 - m) * old, new_carry, carry)
+            return carry, y * m
+
+        scan = nn.scan(
+            step,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=1,
+            out_axes=1,
+        )
+        carry, ys = scan(cell, init_carry, (x.astype(self.dtype), mask))
+        if self.reverse:
+            ys = jnp.flip(ys, axis=1)
+        return ys, carry
+
+
+class BiLSTM(nn.Module):
+    """Bidirectional masked LSTM; outputs concat(fwd, bwd) features and
+    final states concat(bwd, fwd) matching torch's enc_h_t[-1],[-2] order
+    (model.py:66-68)."""
+
+    features: int  # per-direction hidden size
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask):
+        out_f, (h_f, c_f) = LSTM(self.features, dtype=self.dtype,
+                                 name="fwd")(x, mask)
+        out_b, (h_b, c_b) = LSTM(self.features, reverse=True,
+                                 dtype=self.dtype, name="bwd")(x, mask)
+        ctx = jnp.concatenate([out_f, out_b], axis=-1)
+        h_t = jnp.concatenate([h_b, h_f], axis=-1)
+        c_t = jnp.concatenate([c_b, c_f], axis=-1)
+        return ctx, (h_t, c_t)
+
+
+class SoftDotAttention(nn.Module):
+    """Classic dot attention (model.py:253-296).  `mask` True = masked.
+    Returns (h_tilde or weighted_context, attn-or-logit)."""
+
+    dim: int       # query dim
+    ctx_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h, context, mask=None, output_tilde: bool = True,
+                 output_prob: bool = True):
+        h = h.astype(self.dtype)
+        context = context.astype(self.dtype)
+        target = nn.Dense(self.ctx_dim, use_bias=False, dtype=self.dtype,
+                          name="linear_in")(h)
+        logit = jnp.einsum("btc,bc->bt", context, target)
+        masked_logit = logit if mask is None else jnp.where(mask, NEG_INF, logit)
+        attn = jax.nn.softmax(masked_logit, axis=-1)
+        weighted = jnp.einsum("bt,btc->bc", attn, context)
+        attn_out = attn if output_prob else logit
+        if output_tilde:
+            h_tilde = jnp.tanh(
+                nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                         name="linear_out")(
+                    jnp.concatenate([weighted, h], axis=-1)))
+            return h_tilde, attn_out
+        return weighted, attn_out
+
+
+class ShiftSoftDotAttention(nn.Module):
+    """DASA shift attention over the 36-view panorama (model.py:300-353).
+
+    The (B, 36) softmax attention is reshaped to 3 elevation rows x 12
+    headings; a per-sample size-k kernel predicted from h smooths it with
+    a circular convolution along the heading ring, and the smoothed
+    attention re-weights the context.  The reference's batch-as-groups
+    F.conv1d becomes k shifted adds (k<=5, static), which XLA fuses on the
+    VPU — better than a grouped conv on the MXU at this size."""
+
+    dim: int
+    ctx_dim: int
+    kernel_size: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h, context, mask=None, output_tilde: bool = True,
+                 output_prob: bool = True):
+        h = h.astype(self.dtype)
+        context = context.astype(self.dtype)
+        batch = h.shape[0]
+        target = nn.Dense(self.ctx_dim, use_bias=False, dtype=self.dtype,
+                          name="linear_in")(h)
+        logit = jnp.einsum("btc,bc->bt", context, target)
+        masked_logit = logit if mask is None else jnp.where(mask, NEG_INF, logit)
+        attn = jax.nn.softmax(masked_logit, axis=-1)
+
+        n_views = attn.shape[1]
+        assert n_views % 3 == 0, "shift attention expects 3 elevation rows"
+        width = n_views // 3
+        rows = attn.reshape(batch, 3, width)
+        kernel = jax.nn.softmax(
+            nn.Dense(self.kernel_size, dtype=self.dtype,
+                     name="linear_shift")(h), axis=-1)  # (B, k)
+        pad = self.kernel_size // 2
+        ring = jnp.concatenate(
+            [rows[:, :, -pad:], rows, rows[:, :, :pad]], axis=-1)
+        # cross-correlation: out[pos] = sum_k ring[pos + k] * kernel[k]
+        smoothed = sum(
+            ring[:, :, k: k + width] * kernel[:, k][:, None, None]
+            for k in range(self.kernel_size)
+        )
+        smoothed = smoothed.reshape(batch, n_views)
+        weighted = jnp.einsum("bt,btc->bc", smoothed, context)
+        attn_out = attn if output_prob else logit
+        if output_tilde:
+            h_tilde = jnp.tanh(
+                nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                         name="linear_out")(
+                    jnp.concatenate([weighted, h], axis=-1)))
+            return h_tilde, attn_out
+        return weighted, attn_out
+
+
+class MLP(nn.Module):
+    """Linear-ReLU-Linear (agent_dg.py:1550-1562)."""
+
+    latent_dim: int
+    out_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.latent_dim, dtype=self.dtype)(x.astype(self.dtype))
+        x = nn.relu(x)
+        return nn.Dense(self.out_dim, dtype=self.dtype)(x)

@@ -1,0 +1,194 @@
+"""Assembled navigation policy.
+
+One Flax module owning encoder / decoder / critic / AdaIN, mirroring the
+reference agent's model wiring (r2r_src/agent_dg.py:102-260) but exposed
+as pure per-step methods so the agent can jit them individually and run
+the training replay as a single `lax.scan` program.
+
+Step dataflow (vl path, agent_dg.py:725-936):
+  gather pano + candidates -> env-drop (before/after AdaIN) -> AdaIN
+  channel modulation -> cross-modal encoder (with per-episode cached text
+  stack) -> decoder step -> candidate logits.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dasa_tpu.config import Config
+from dasa_tpu.models.adain import adaptive_instance_normalization, make_adain
+from dasa_tpu.models.bert import BertConfig
+from dasa_tpu.models.decoder import AttnDecoderLSTM, BAttnDecoderLSTM, Critic
+from dasa_tpu.models.encoder import DicEncoder, EncoderLSTM
+
+
+class StepInputs(NamedTuple):
+    """Per-step featurized inputs (already gathered on device)."""
+
+    action_feat: jnp.ndarray   # (B, A) angle feature of current pose
+    f_t: jnp.ndarray           # (B, 36, F) rgb pano + angle
+    d_t: jnp.ndarray           # (B, 36, F) depth pano + angle
+    cand_feat: jnp.ndarray     # (B, K, F)
+    cand_dfeat: jnp.ndarray    # (B, K, F)
+    cand_mask: jnp.ndarray     # (B, K) True = masked (pad beyond STOP)
+
+
+class DecoderState(NamedTuple):
+    h: jnp.ndarray
+    c: jnp.ndarray
+    h1: jnp.ndarray
+
+
+def bert_config_from(cfg: Config) -> BertConfig:
+    base = (BertConfig.large if cfg.d_bert_type == "large"
+            else BertConfig.base)
+    return base(
+        img_feature_dim=cfg.feature_all_size,
+        la_layers=cfg.d_la_layers,
+        vl_layers=cfg.d_vl_layers,
+        v_layers=cfg.d_v_layers,
+        update_lang_bert=cfg.d_transformer_update,
+        update_add_layer=cfg.d_update_add_layer,
+    )
+
+
+class DasaPolicy(nn.Module):
+    cfg: Config
+    vocab_size: int = 0          # word-vocab size (EncoderLSTM path)
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = self.cfg
+        feature_all = cfg.feature_all_size
+        if cfg.encoder_type == "EncoderLSTM":
+            enc_hidden = cfg.rnn_dim // 2 if cfg.bidir else cfg.rnn_dim
+            self.encoder = EncoderLSTM(
+                self.vocab_size, cfg.wemb, enc_hidden, cfg.dropout,
+                bidirectional=cfg.bidir, sub_out=cfg.sub_out,
+                zero_init=cfg.zero_init, dtype=self.dtype)
+            self.decoder = AttnDecoderLSTM(
+                cfg.aemb, cfg.rnn_dim, cfg.dropout, cfg.featdropout,
+                feature_all, cfg.angle_feat_size, ctx_dim=cfg.rnn_dim,
+                dtype=self.dtype)
+            dec_hidden = cfg.rnn_dim
+        else:  # Dic cross-modal path
+            self.encoder = DicEncoder(
+                bert_config_from(cfg), cfg.d_enc_hidden_size,
+                cfg.d_hidden_size, cfg.d_dropout_ratio,
+                bidirectional=cfg.d_bidirectional,
+                reverse_input=cfg.d_reverse_input, top_lstm=cfg.d_top_lstm,
+                ctx_v=cfg.ctx_v, ctx_v_dim=feature_all, dtype=self.dtype)
+            num_dir = 2 if cfg.d_bidirectional else 1
+            ctx_dim = (cfg.d_enc_hidden_size * num_dir if cfg.d_top_lstm
+                       else (1024 if cfg.d_bert_type == "large" else 768))
+            self.decoder = BAttnDecoderLSTM(
+                cfg.aemb, cfg.d_hidden_size, cfg.dropout, cfg.featdropout,
+                feature_all, cfg.angle_feat_size, ctx_dim=ctx_dim,
+                use_shift=cfg.use_shift,
+                shift_kernel_size=cfg.shift_kernel_size,
+                pred_back=cfg.pred_back, back_input=cfg.back_input,
+                dtype=self.dtype)
+            dec_hidden = cfg.d_hidden_size
+        self.critic = Critic(cfg.critic_dim, cfg.dropout, self.dtype)
+        self.adain = make_adain(cfg.adain_type, cfg.feature_size,
+                                cfg.ab_type, cfg.a_type, self.dtype)
+        self._dec_hidden = dec_hidden
+
+    # ---- episode-level ----
+    def encode_text(self, instr, valid_mask, seq_len, *,
+                    deterministic: bool = True):
+        """Per-episode cacheable computation.  Dic: the text-only BERT
+        stack.  EncoderLSTM: the whole encoder (no vision input)."""
+        if self.cfg.encoder_type == "EncoderLSTM":
+            ctx, h0, c0 = self.encoder(instr, valid_mask,
+                                       deterministic=deterministic)
+            return {"ctx": ctx, "h0": h0, "c0": c0}
+        return {"text_embeds": self.encoder.text_forward(
+            instr, valid_mask, deterministic=deterministic)}
+
+    # ---- per-step pieces ----
+    def encode_step(self, cached: Dict[str, jnp.ndarray], valid_mask,
+                    seq_len, f_t, *, deterministic: bool = True):
+        """Per-step encoding.  Returns (ctx, h0, c0, ctx_v)."""
+        if self.cfg.encoder_type == "EncoderLSTM":
+            return cached["ctx"], cached["h0"], cached["c0"], None
+        ctx, h0, c0, ctx_v = self.encoder(
+            cached["text_embeds"], valid_mask, seq_len,
+            f_t_all=f_t if self.cfg.include_vision else None,
+            deterministic=deterministic)
+        return ctx, h0, c0, ctx_v
+
+    def apply_adain(self, inputs: StepInputs, *, is_test: bool = True,
+                    gumbel_rng=None) -> StepInputs:
+        """Depth-guided modulation of the pano/candidate visual channels;
+        dispatch mirrors vl_rollout (agent_dg.py:742-777)."""
+        cfg = self.cfg
+        a = cfg.angle_feat_size
+        if cfg.adain_type == "none":
+            return inputs
+        f_vis, f_ang = inputs.f_t[..., :-a], inputs.f_t[..., -a:]
+        d_vis = inputs.d_t[..., :-a]
+        c_vis, c_ang = inputs.cand_feat[..., :-a], inputs.cand_feat[..., -a:]
+        cd_vis = inputs.cand_dfeat[..., :-a]
+
+        def mod(content, style):
+            if cfg.adain_type == "default":
+                return adaptive_instance_normalization(content, style)
+            return self.adain(content, style, is_test=is_test,
+                              gumbel_rng=gumbel_rng)
+
+        if cfg.adain_type in ("rgb_stat_channel", "rgb_meanchannel"):
+            df_vis, cand_vis = mod(f_vis, f_vis), mod(c_vis, f_vis)
+        elif cfg.adain_type == "rgb_channel":
+            df_vis, cand_vis = mod(f_vis, f_vis), mod(c_vis, c_vis)
+        elif cfg.adain_type in ("depth_stat_channel",):
+            df_vis, cand_vis = mod(f_vis, d_vis), mod(c_vis, d_vis)
+        elif cfg.adain_type in ("channel", "coco_channel", "default"):
+            df_vis, cand_vis = mod(f_vis, d_vis), mod(c_vis, cd_vis)
+        elif cfg.adain_type == "meanchannel":
+            df_vis, cand_vis = mod(f_vis, d_vis), mod(c_vis, f_vis)
+        else:
+            raise ValueError(cfg.adain_type)
+        # "channel"-family writes the modulated pano into df_t (the
+        # decoder's pano input) and keeps f_t for the encoder
+        # (agent_dg.py:764-768); "default" overwrites f_t itself.
+        df_t = jnp.concatenate([df_vis, f_ang], axis=-1)
+        cand = jnp.concatenate([cand_vis, c_ang], axis=-1)
+        if cfg.adain_type == "default":
+            return inputs._replace(f_t=df_t, cand_feat=cand)
+        return StepInputs(inputs.action_feat, inputs.f_t, df_t, cand,
+                          inputs.cand_dfeat, inputs.cand_mask)
+
+    def decode_step(self, inputs: StepInputs, state: DecoderState,
+                    ctx, ctx_mask, *, deterministic: bool = True,
+                    already_dropfeat: bool = False,
+                    input_noise=None, output_noise=None):
+        """One decoder step over the (AdaIN'd) pano df_t (stored in the
+        d_t slot by apply_adain) and candidates."""
+        h, c, logit, h1, aux = self.decoder(
+            inputs.action_feat, inputs.d_t, inputs.cand_feat,
+            state.h1, state.c, ctx, ctx_mask,
+            deterministic=deterministic, already_dropfeat=already_dropfeat,
+            input_noise=input_noise, output_noise=output_noise)
+        return DecoderState(h, c, h1), logit, aux
+
+    def value(self, h, *, deterministic: bool = True):
+        return self.critic(h, deterministic=deterministic)
+
+    # ---- init convenience ----
+    def __call__(self, instr, valid_mask, seq_len, inputs: StepInputs):
+        cached = self.encode_text(instr, valid_mask, seq_len)
+        inputs = self.apply_adain(inputs, is_test=True)
+        ctx, h0, c0, ctx_v = self.encode_step(cached, valid_mask, seq_len,
+                                              inputs.f_t)
+        if ctx_v is not None:
+            inputs = inputs._replace(d_t=inputs.d_t + ctx_v)
+        state = DecoderState(h0, c0, h0)
+        state, logit, aux = self.decode_step(inputs, state, ctx,
+                                             ~valid_mask)
+        v = self.value(state.h)
+        return logit, v
