@@ -1,0 +1,617 @@
+"""The navigation agent: host-driven acting, scanned replay training.
+
+TPU-native restructuring of the reference Seq2SeqAgent
+(r2r_src/agent_dg.py:102-1510).  The reference interleaves model forwards
+with env steps and keeps one growing autograd graph across the episode;
+under XLA we split the rollout into two phases:
+
+1. **Act** — a host loop calls one jitted `policy_step` per env step
+   (actions only, no grads), stepping the graph simulator in between and
+   recording the small per-step observation arrays.
+2. **Replay** — one jitted program re-runs the whole episode as a
+   `lax.scan` over the recorded observations (teacher-forcing the actions
+   actually taken), computes the exact IL + A2C losses of the reference
+   (vl_rollout, agent_dg.py:633-1033), and backprops through all steps at
+   once.
+
+Replay is bit-equivalent to acting because every stochastic choice
+(dropout noise, the shared env-drop mask, gumbel noise) is derived from
+`fold_in(base_rng, step)` identically in both phases.
+
+Feature tables live device-resident; per-step host->device traffic is a
+few KB of int32/float32 per batch.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from collections import defaultdict
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization
+
+from dasa_tpu.config import Config
+from dasa_tpu.data.features import FeatureDB
+from dasa_tpu.env import Obs, R2REnv
+from dasa_tpu.models import DasaPolicy, DecoderState, StepInputs
+from dasa_tpu.models.featurize import (
+    angle_feature,
+    assemble_candidates,
+    assemble_pano,
+)
+from dasa_tpu.models.layers import NEG_INF
+from dasa_tpu.train.optim import build_optimizer
+from dasa_tpu.utils.angles import all_point_angle_feature
+
+NOISE_SALT = 1 << 20
+INIT_SALT = (1 << 20) + 1
+
+
+def _dtype_of(name: str):
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[name]
+
+
+def make_step_inputs(cfg: Config, tables, sobs) -> StepInputs:
+    """Gather pano/candidate features on device from resident tables."""
+    feat_table, dfeat_table, angle_table = tables
+    f_t = assemble_pano(feat_table, angle_table, sobs["feat_row"],
+                        sobs["view_index"])
+    cand = assemble_candidates(
+        feat_table, sobs["feat_row"], sobs["cand_point_id"],
+        sobs["cand_heading"], sobs["cand_elevation"], sobs["cand_n"],
+        cfg.angle_feat_size)
+    if dfeat_table is not None:
+        d_t = assemble_pano(dfeat_table, angle_table, sobs["feat_row"],
+                            sobs["view_index"])
+        cand_d = assemble_candidates(
+            dfeat_table, sobs["feat_row"], sobs["cand_point_id"],
+            sobs["cand_heading"], sobs["cand_elevation"], sobs["cand_n"],
+            cfg.angle_feat_size)
+    else:
+        d_t, cand_d = f_t, cand
+    act_feat = angle_feature(sobs["heading"], sobs["elevation"],
+                             cfg.angle_feat_size)
+    return StepInputs(act_feat, f_t, d_t, cand, cand_d, sobs["logit_mask"])
+
+
+def _entropy(logp, p):
+    return -jnp.sum(jnp.where(p > 0, p * logp, 0.0), axis=-1)
+
+
+class Seq2SeqAgent:
+    """Listener agent (plain LSTM path and DASA dg path)."""
+
+    def __init__(self, cfg: Config, env: Optional[R2REnv],
+                 feature_db: FeatureDB,
+                 depth_db: Optional[FeatureDB] = None,
+                 vocab_size: int = 0, results_path: Optional[str] = None,
+                 rng_seed: int = 0):
+        self.cfg = cfg
+        self.env = env
+        self.results_path = results_path
+        self.episode_len = cfg.max_action
+        self.feedback = cfg.feedback
+        dtype = _dtype_of(cfg.compute_dtype)
+        if jax.default_backend() == "cpu":
+            dtype = jnp.float32
+        self.dtype = dtype
+
+        self.policy = DasaPolicy(cfg, vocab_size=vocab_size, dtype=dtype)
+        self._init_params(rng_seed)
+        self.tx = build_optimizer(cfg, self.params["params"])
+        self.opt_state = self.tx.init(self.params["params"])
+
+        # device-resident tables
+        self.feat_table = jnp.asarray(feature_db.values, dtype)
+        self.dfeat_table = (jnp.asarray(depth_db.values, dtype)
+                            if depth_db is not None else None)
+        self.angle_table = jnp.asarray(
+            all_point_angle_feature(cfg.angle_feat_size), dtype)
+
+        self._base_rng = jax.random.PRNGKey(cfg.seed + rng_seed)
+        self._rollout_counter = 0
+        self.losses: List[float] = []
+        self.logs = defaultdict(list)
+        self.results: Dict[str, dict] = {}
+        self._grad_accum = None
+        self._jit_cache: Dict = {}
+        self.iter_count = 0
+
+    # ------------------------------------------------------------------
+    def _init_params(self, rng_seed: int):
+        cfg = self.cfg
+        b, k, L = 2, cfg.max_candidates, cfg.max_input
+        F = cfg.feature_all_size
+        dummy = StepInputs(
+            action_feat=jnp.zeros((b, cfg.angle_feat_size), self.dtype),
+            f_t=jnp.zeros((b, cfg.views, F), self.dtype),
+            d_t=jnp.zeros((b, cfg.views, F), self.dtype),
+            cand_feat=jnp.zeros((b, k, F), self.dtype),
+            cand_dfeat=jnp.zeros((b, k, F), self.dtype),
+            cand_mask=jnp.zeros((b, k), bool),
+        )
+        instr = jnp.zeros((b, L), jnp.int32)
+        valid = jnp.ones((b, L), bool)
+        seq_len = jnp.full((b,), L, jnp.int32)
+        self.params = self.policy.init(
+            jax.random.PRNGKey(rng_seed), instr, valid, seq_len, dummy)
+
+    @property
+    def tables(self):
+        return (self.feat_table, self.dfeat_table, self.angle_table)
+
+    # ------------------------------------------------------------------
+    # jitted programs
+    # ------------------------------------------------------------------
+    def _encode_fn(self, train: bool):
+        key = ("encode", train)
+        if key not in self._jit_cache:
+
+            @jax.jit
+            def run(params, instr, valid, seq_len, base_rng):
+                rngs = ({"dropout": jax.random.fold_in(base_rng, INIT_SALT)}
+                        if train else None)
+                return self.policy.apply(
+                    params, instr, valid, seq_len,
+                    deterministic=not train, rngs=rngs,
+                    method=DasaPolicy.encode_text)
+
+            self._jit_cache[key] = run
+        return self._jit_cache[key]
+
+    def _noise_fn(self):
+        if "noise" not in self._jit_cache:
+            p = self.cfg.featdropout
+
+            @jax.jit
+            def run(base_rng):
+                rng = jax.random.fold_in(base_rng, NOISE_SALT)
+                keep = jax.random.bernoulli(
+                    rng, 1.0 - p, (self.cfg.feature_size,))
+                return keep.astype(self.dtype) / (1.0 - p)
+
+            self._jit_cache["noise"] = run
+        return self._jit_cache["noise"]
+
+    def _act_fn(self, feedback: str, train: bool, use_noise: bool):
+        key = ("act", feedback, train, use_noise)
+        if key not in self._jit_cache:
+            cfg = self.cfg
+
+            @jax.jit
+            def run(params, tables, cached, valid, seq_len, state, sobs,
+                    t, base_rng, env_noise):
+                inputs = make_step_inputs(cfg, tables, sobs)
+                step_rng = jax.random.fold_in(base_rng, t)
+                rngs = ({"dropout": jax.random.fold_in(step_rng, 0)}
+                        if train else None)
+                new_state, logit, value, _aux = self.policy.apply(
+                    params, cached, valid, seq_len, inputs, state,
+                    sobs["is_first"],
+                    deterministic=not train, is_test=not train,
+                    env_noise=env_noise if use_noise else None,
+                    rngs=rngs, method=DasaPolicy.policy_step)
+                logit = logit.astype(jnp.float32)
+                masked = jnp.where(sobs["logit_mask"], NEG_INF, logit)
+                if feedback == "teacher":
+                    action = sobs["teacher"]
+                elif feedback == "argmax":
+                    action = jnp.argmax(masked, axis=-1)
+                elif feedback == "sample":
+                    action = jax.random.categorical(
+                        jax.random.fold_in(step_rng, 1), masked, axis=-1)
+                else:
+                    raise ValueError(feedback)
+                return new_state, action.astype(jnp.int32)
+
+            self._jit_cache[key] = run
+        return self._jit_cache[key]
+
+    def _grad_fn(self, feedback: str, train_rl: bool, use_noise: bool,
+                 n_steps: int):
+        key = ("grad", feedback, train_rl, use_noise, n_steps)
+        if key not in self._jit_cache:
+            cfg = self.cfg
+            policy = self.policy
+
+            def loss_fn(inner_params, tables, instr, valid, seq_len,
+                        stacked, final_sobs, rewards, rl_masks,
+                        final_ended, base_rng, env_noise, ml_weight):
+                params = {"params": inner_params}
+                cached = policy.apply(
+                    params, instr, valid, seq_len, deterministic=False,
+                    rngs={"dropout": jax.random.fold_in(base_rng,
+                                                        INIT_SALT)},
+                    method=DasaPolicy.encode_text)
+                batch = instr.shape[0]
+                dec_h = (cfg.d_hidden_size
+                         if cfg.encoder_type != "EncoderLSTM"
+                         else cfg.rnn_dim)
+                state0 = DecoderState(
+                    h=jnp.zeros((batch, dec_h), self.dtype),
+                    c=jnp.zeros((batch, dec_h), self.dtype),
+                    h1=jnp.zeros((batch, dec_h), self.dtype))
+
+                def step(carry, xs):
+                    state, t = carry
+                    sobs = xs
+                    inputs = make_step_inputs(cfg, tables, sobs)
+                    step_rng = jax.random.fold_in(base_rng, t)
+                    new_state, logit, value, aux = policy.apply(
+                        params, cached, valid, seq_len, inputs, state,
+                        sobs["is_first"], deterministic=False,
+                        is_test=False,
+                        env_noise=env_noise if use_noise else None,
+                        rngs={"dropout": jax.random.fold_in(step_rng, 0)},
+                        method=DasaPolicy.policy_step)
+                    logit = logit.astype(jnp.float32)
+                    masked = jnp.where(sobs["logit_mask"], NEG_INF, logit)
+                    logp = jax.nn.log_softmax(masked, axis=-1)
+                    p = jnp.exp(logp)
+                    # IL: CE vs teacher, ignoring ended rows
+                    ce = -jnp.take_along_axis(
+                        logp, sobs["teacher"][:, None], axis=1)[:, 0]
+                    ce = jnp.where(sobs["active"], ce, 0.0)
+                    # RL bookkeeping for the taken action
+                    logp_a = jnp.take_along_axis(
+                        logp, sobs["action"][:, None], axis=1)[:, 0]
+                    ent = _entropy(logp, p)
+                    outs = {"ce": ce, "logp_a": logp_a, "ent": ent,
+                            "value": value.astype(jnp.float32)}
+                    if cfg.pred_back:
+                        back = jnp.where(sobs["logit_mask"], NEG_INF,
+                                         aux["back_logit"].astype(
+                                             jnp.float32))
+                        blogp = jax.nn.log_softmax(back, axis=-1)
+                        outs["back_ce"] = -jnp.take_along_axis(
+                            blogp, sobs["back_teacher"][:, None],
+                            axis=1)[:, 0]
+                    return (new_state, t + 1), outs
+
+                (state, _), outs = jax.lax.scan(
+                    step, (state0, jnp.asarray(0, jnp.int32)), stacked)
+
+                ml_loss = outs["ce"].sum()
+                forth_loss = ml_loss
+                if cfg.pred_back:
+                    ml_loss = ml_loss + cfg.back_weight * outs["back_ce"].sum()
+
+                total_loss = ml_weight * ml_loss / batch
+                logs = {"forth_loss": forth_loss,
+                        "ml_loss": ml_loss,
+                        "entropy": outs["ent"].sum()}
+
+                if train_rl:
+                    # bootstrap value from one extra decoder step on the
+                    # final obs (agent_dg.py:977-1001)
+                    inputs = make_step_inputs(cfg, tables, final_sobs)
+                    step_rng = jax.random.fold_in(base_rng, n_steps)
+                    _, _, last_value, _ = policy.apply(
+                        params, cached, valid, seq_len, inputs, state,
+                        final_sobs["is_first"], deterministic=False,
+                        is_test=False,
+                        env_noise=env_noise if use_noise else None,
+                        rngs={"dropout": jax.random.fold_in(step_rng, 0)},
+                        method=DasaPolicy.policy_step)
+                    last_value = jax.lax.stop_gradient(
+                        last_value.astype(jnp.float32))
+                    g0 = jnp.where(final_ended, 0.0, last_value)
+
+                    def rev_step(g, xs):
+                        r, v, logp_a, ent, m = xs
+                        g = g * cfg.gamma + r
+                        adv = jax.lax.stop_gradient(g - v)
+                        pol = (-logp_a * adv * m).sum()
+                        val = 0.5 * (((g - v) ** 2) * m).sum()
+                        step_loss = pol + val
+                        if feedback == "sample":
+                            step_loss = step_loss + (-0.01 * ent * m).sum()
+                        return g, (step_loss, val)
+
+                    _, (step_losses, critic_losses) = jax.lax.scan(
+                        rev_step, g0,
+                        (rewards, outs["value"], outs["logp_a"],
+                         outs["ent"], rl_masks),
+                        reverse=True)
+                    rl_loss = step_losses.sum()
+                    total = rl_masks.sum()
+                    if cfg.normalize_loss == "total":
+                        rl_loss = rl_loss / jnp.maximum(total, 1.0)
+                    elif cfg.normalize_loss == "batch":
+                        rl_loss = rl_loss / batch
+                    total_loss = total_loss + rl_loss
+                    logs["rl_loss"] = rl_loss
+                    logs["critic_loss"] = critic_losses.sum()
+                    logs["total"] = total
+
+                logs["loss"] = total_loss
+                return total_loss, logs
+
+            @jax.jit
+            def run(params, tables, instr, valid, seq_len, stacked,
+                    final_sobs, rewards, rl_masks, final_ended, base_rng,
+                    env_noise, ml_weight):
+                (loss, logs), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(
+                    params["params"], tables, instr, valid, seq_len,
+                    stacked, final_sobs, rewards, rl_masks, final_ended,
+                    base_rng, env_noise, ml_weight)
+                return grads, logs
+
+            def wrapper(params, *a):
+                return run(params, *a)
+
+            self._jit_cache[key] = wrapper
+        return self._jit_cache[key]
+
+    def _apply_fn(self):
+        if "apply" not in self._jit_cache:
+
+            @jax.jit
+            def run(params, opt_state, grads):
+                updates, opt_state = self.tx.update(
+                    grads, opt_state, params["params"])
+                new_inner = optax.apply_updates(params["params"], updates)
+                return {**params, "params": new_inner}, opt_state
+
+            self._jit_cache["apply"] = run
+        return self._jit_cache["apply"]
+
+    # ------------------------------------------------------------------
+    # rollout
+    # ------------------------------------------------------------------
+    def _to_sobs(self, obs: Obs, ended: np.ndarray, visited_mask,
+                 is_first: bool) -> dict:
+        k = obs.cand_point_id.shape[1]
+        slots = np.arange(k)[None, :]
+        logit_mask = slots > obs.cand_n[:, None]
+        if visited_mask is not None:
+            logit_mask = logit_mask | visited_mask
+        return {
+            "feat_row": obs.feat_row,
+            "view_index": obs.view_index,
+            "heading": obs.heading,
+            "elevation": obs.elevation,
+            "cand_point_id": obs.cand_point_id,
+            "cand_heading": obs.cand_heading,
+            "cand_elevation": obs.cand_elevation,
+            "cand_n": obs.cand_n,
+            "teacher": obs.teacher,
+            "back_teacher": obs.back_teacher,
+            "logit_mask": logit_mask,
+            "active": ~ended,
+            "is_first": np.full(obs.batch_size(), is_first, bool),
+            "action": np.zeros(obs.batch_size(), np.int32),  # filled later
+        }
+
+    def rollout(self, train_ml: Optional[float] = None,
+                train_rl: bool = True, reset: bool = True,
+                speaker=None, feedback: Optional[str] = None):
+        """One episode batch.  In train mode (train_ml/train_rl set),
+        accumulates gradients into self._grad_accum; always returns the
+        trajectories (reference contract: agent_dg.py:633-1033)."""
+        cfg = self.cfg
+        feedback = feedback or self.feedback
+        # teacher/argmax feedback never trains RL (agent_dg.py:643-644)
+        train_rl = train_rl and feedback == "sample"
+        training = (train_ml is not None) or train_rl
+
+        env = self.env
+        obs = env.reset() if reset else env._get_obs()
+        batch_size = obs.batch_size()
+
+        base_rng = jax.random.fold_in(self._base_rng, self._rollout_counter)
+        self._rollout_counter += 1
+
+        use_noise = cfg.consistent_drop or (speaker is not None)
+        env_noise = self._noise_fn()(base_rng) if use_noise else jnp.ones(
+            (cfg.feature_size,), self.dtype)
+
+        if speaker is not None:
+            obs = self._back_translate(speaker, env, env_noise, base_rng)
+
+        instr = jnp.asarray(obs.instr)
+        valid = jnp.asarray(~obs.pad_mask)
+        seq_len = jnp.asarray(obs.seq_len)
+        cached = self._encode_fn(training)(
+            self.params, instr, valid, seq_len, base_rng)
+
+        trajs = [[t] for t in env.state_tuples()]
+        instr_ids = env.instr_ids()
+        ended = np.zeros(batch_size, bool)
+        last_dist = obs.distance.copy()
+        visited = ([set(env.current_viewpoints()[i: i + 1])
+                    for i in range(batch_size)] if cfg.submit else None)
+
+        dec_h = (cfg.d_hidden_size if cfg.encoder_type != "EncoderLSTM"
+                 else cfg.rnn_dim)
+        state = DecoderState(
+            h=jnp.zeros((batch_size, dec_h), self.dtype),
+            c=jnp.zeros((batch_size, dec_h), self.dtype),
+            h1=jnp.zeros((batch_size, dec_h), self.dtype))
+        act = self._act_fn(feedback, training, use_noise)
+
+        records: List[dict] = []
+        rewards: List[np.ndarray] = []
+        rl_masks: List[np.ndarray] = []
+
+        for t in range(self.episode_len):
+            visited_mask = None
+            if cfg.submit:
+                vps = env.current_viewpoints()
+                visited_mask = np.zeros_like(obs.cand_point_id, bool)
+                for i in range(batch_size):
+                    visited[i].add(env.sim.states[i].ix)
+                    visited_mask[i] = np.isin(
+                        obs.cand_nbr_ix[i], list(visited[i]))
+            sobs = self._to_sobs(obs, ended, visited_mask, t == 0)
+            sobs_dev = {k: jnp.asarray(v) for k, v in sobs.items()}
+            state, action = act(self.params, self.tables, cached, valid,
+                                seq_len, state, sobs_dev, t, base_rng,
+                                env_noise)
+            a = np.asarray(action)
+            # STOP (slot == cand_n) or already ended -> -1 env action
+            a_env = np.where((a >= obs.cand_n) | ended, -1, a)
+            sobs["action"] = np.where(a > obs.cand_n, obs.cand_n,
+                                      a).astype(np.int32)
+            records.append(sobs)
+
+            obs = env.step(a_env, trajs)
+
+            reward = np.zeros(batch_size, np.float32)
+            mask = np.ones(batch_size, np.float32)
+            dist = obs.distance
+            for i in range(batch_size):
+                if ended[i]:
+                    reward[i] = 0.0
+                    mask[i] = 0.0
+                elif a_env[i] == -1:
+                    reward[i] = 2.0 if dist[i] < 3.0 else -2.0
+                else:
+                    delta = -(dist[i] - last_dist[i])
+                    reward[i] = 1.0 if delta > 0 else (
+                        -1.0 if delta < 0 else 0.0)
+            rewards.append(reward)
+            rl_masks.append(mask)
+            last_dist = dist.copy()
+            ended = ended | (a_env == -1)
+            if ended.all():
+                break
+
+        for i, (iid, tr) in enumerate(zip(instr_ids, trajs)):
+            self.results[iid] = {"instr_id": iid, "trajectory": tr}
+
+        if training:
+            n_steps = len(records)
+            stacked = {
+                k: jnp.asarray(np.stack([r[k] for r in records]))
+                for k in records[0]
+            }
+            final_sobs = self._to_sobs(obs, ended, None, False)
+            final_sobs = {k: jnp.asarray(v) for k, v in final_sobs.items()}
+            grads, logs = self._grad_fn(
+                feedback, train_rl, use_noise, n_steps)(
+                self.params, self.tables, instr, valid, seq_len, stacked,
+                final_sobs, jnp.asarray(np.stack(rewards)),
+                jnp.asarray(np.stack(rl_masks)), jnp.asarray(ended),
+                base_rng, env_noise,
+                jnp.asarray(train_ml if train_ml is not None else 0.0,
+                            jnp.float32))
+            if self._grad_accum is None:
+                self._grad_accum = grads
+            else:
+                self._grad_accum = jax.tree_util.tree_map(
+                    jnp.add, self._grad_accum, grads)
+            for k, v in logs.items():
+                self.logs[k].append(float(v))
+            self.losses.append(float(logs["loss"]))
+
+        return [{"instr_id": iid, "path": tr}
+                for iid, tr in zip(instr_ids, trajs)]
+
+    def _back_translate(self, speaker, env, env_noise, base_rng):
+        """Speaker back-translation: replace batch instructions with
+        speaker-generated ones (vl_rollout, agent_dg.py:656-675)."""
+        return speaker.relabel_batch(env, env_noise, base_rng)
+
+    # ------------------------------------------------------------------
+    # training drivers (reference: agent_dg.py:1327-1464)
+    # ------------------------------------------------------------------
+    def zero_grad(self):
+        self._grad_accum = None
+        self.losses = []
+
+    def accumulate_gradient(self, feedback: str = "teacher",
+                            ml_weight: Optional[float] = None, **kwargs):
+        """Two-pass gradient accumulation (teacher-ML + sampled-RL,
+        agent_dg.py:1347-1384).  `ml_weight` overrides cfg.ml_weight so
+        the aug-alternation scheme can pass ml_weight_org/aug per env
+        instead of mutating global args (train.py:233-243)."""
+        cfg = self.cfg
+        if ml_weight is None:
+            ml_weight = cfg.ml_weight
+        if feedback == "teacher":
+            self.feedback = "teacher"
+            self.rollout(train_ml=cfg.teacher_weight, train_rl=False,
+                         feedback="teacher", **kwargs)
+        elif feedback == "sample":
+            self.feedback = "teacher"
+            self.rollout(train_ml=ml_weight, train_rl=False,
+                         feedback="teacher", **kwargs)
+            self.feedback = "sample"
+            self.rollout(train_ml=None, train_rl=True, feedback="sample",
+                         **kwargs)
+        else:
+            raise ValueError(feedback)
+
+    def optim_step(self):
+        if self._grad_accum is None:
+            return
+        self.params, self.opt_state = self._apply_fn()(
+            self.params, self.opt_state, self._grad_accum)
+        self._grad_accum = None
+        self.iter_count += 1
+
+    def train(self, n_iters: int, feedback: str = "teacher", **kwargs):
+        for _ in range(n_iters):
+            self.zero_grad()
+            if feedback == "teacher":
+                self.accumulate_gradient("teacher", **kwargs)
+            elif feedback == "sample":
+                if self.cfg.ml_weight != 0:
+                    self.rollout(train_ml=self.cfg.ml_weight,
+                                 train_rl=False, feedback="teacher",
+                                 **kwargs)
+                self.rollout(train_ml=None, train_rl=True,
+                             feedback="sample", **kwargs)
+            else:
+                raise ValueError(feedback)
+            self.optim_step()
+
+    # ------------------------------------------------------------------
+    def test(self, use_dropout: bool = False, feedback: str = "argmax",
+             iters: Optional[int] = None):
+        """Loop rollouts until the dataset wraps (BaseAgent.test,
+        agent_dg.py:58-100)."""
+        self.feedback = feedback
+        self.results = {}
+        env = self.env
+        env.reset_epoch(shuffle=iters is not None)
+        if iters is not None:
+            for _ in range(iters):
+                self.rollout(train_ml=None, train_rl=False,
+                             feedback=feedback)
+        else:
+            max_batches = env.size() // env.batch_size + 2
+            for _ in range(max_batches):
+                self.rollout(train_ml=None, train_rl=False,
+                             feedback=feedback)
+                if len(self.results) >= env.size():
+                    break
+        return list(self.results.values())
+
+    # ------------------------------------------------------------------
+    def save(self, epoch: int, path: str):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        blob = {
+            "epoch": epoch,
+            "params": serialization.to_bytes(self.params),
+            "opt_state": serialization.to_bytes(self.opt_state),
+        }
+        with open(path, "wb") as f:
+            pickle.dump(blob, f)
+
+    def load(self, path: str) -> int:
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+        self.params = serialization.from_bytes(self.params, blob["params"])
+        if self.cfg.load_optim:
+            self.opt_state = serialization.from_bytes(
+                self.opt_state, blob["opt_state"])
+        return blob["epoch"]

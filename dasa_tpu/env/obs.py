@@ -35,6 +35,9 @@ class Obs:
     cand_n: np.ndarray         # (B,) int32 number of real candidates
     cand_mask: np.ndarray      # (B, K) bool, True for usable slots
                                # (real candidates + the STOP slot)
+    cand_nbr_ix: np.ndarray    # (B, K) int32 graph node index of each
+                               # candidate (-1 at non-real slots); host-side
+                               # bookkeeping (visited masking for --submit)
 
     # supervision / reward signals
     teacher: np.ndarray       # (B,) int32 candidate idx (cand_n => STOP)

@@ -176,6 +176,7 @@ class R2REnv:
         heading = np.zeros(b, dtype=np.float32)
         elevation = np.zeros(b, dtype=np.float32)
         cand_point_id = np.zeros((b, k), dtype=np.int32)
+        cand_nbr_ix = np.full((b, k), -1, dtype=np.int32)
         cand_heading = np.zeros((b, k), dtype=np.float32)
         cand_elevation = np.zeros((b, k), dtype=np.float32)
         cand_n = np.zeros(b, dtype=np.int32)
@@ -202,6 +203,7 @@ class R2REnv:
             cand_n[i] = n
             base_heading = (st.view_index % HEADING_COUNT) * HEADING_INC
             cand_point_id[i, :n] = cands.point_id[:n]
+            cand_nbr_ix[i, :n] = cands.nbr_ix[:n]
             cand_heading[i, :n] = cands.normalized_heading[:n] - base_heading
             cand_elevation[i, :n] = cands.elevation[:n]
             teacher[i] = min(self._teacher_cand_idx(i, cands,
@@ -220,7 +222,8 @@ class R2REnv:
             heading=heading, elevation=elevation,
             cand_point_id=cand_point_id, cand_heading=cand_heading,
             cand_elevation=cand_elevation, cand_n=cand_n,
-            cand_mask=cand_mask, teacher=teacher, back_teacher=back_teacher,
+            cand_mask=cand_mask, cand_nbr_ix=cand_nbr_ix,
+            teacher=teacher, back_teacher=back_teacher,
             distance=distance, progress=progress,
         )
 

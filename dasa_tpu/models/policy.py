@@ -179,6 +179,65 @@ class DasaPolicy(nn.Module):
     def value(self, h, *, deterministic: bool = True):
         return self.critic(h, deterministic=deterministic)
 
+    def _apply_env_noise(self, inputs: StepInputs, env_noise) -> StepInputs:
+        """Multiply the visual channels by the shared per-rollout noise
+        vector (consistent env-drop, agent_dg.py:731-736, 780-785)."""
+        a = self.cfg.angle_feat_size
+
+        def noised(x):
+            return jnp.concatenate(
+                [x[..., :-a] * env_noise, x[..., -a:]], axis=-1)
+
+        f_t = noised(inputs.f_t)
+        cand = noised(inputs.cand_feat)
+        if self.cfg.depth_drop:
+            d_t = noised(inputs.d_t)
+            cand_d = noised(inputs.cand_dfeat)
+        else:
+            d_t, cand_d = inputs.d_t, inputs.cand_dfeat
+        return StepInputs(inputs.action_feat, f_t, d_t, cand, cand_d,
+                          inputs.cand_mask)
+
+    def policy_step(self, cached: Dict[str, jnp.ndarray], valid_mask,
+                    seq_len, inputs: StepInputs, state: DecoderState,
+                    is_first, *, deterministic: bool = True,
+                    is_test: bool = True, env_noise=None,
+                    input_noise=None, output_noise=None):
+        """The complete per-step forward (vl_rollout body,
+        agent_dg.py:725-830): env-drop -> AdaIN -> encoder -> decoder.
+
+        `is_first` is a (B,)-broadcastable bool/float selecting the
+        encoder-provided initial decoder state at t=0.  Returns
+        (new_state, logit, value, aux)."""
+        cfg = self.cfg
+        consistent = env_noise is not None
+        if consistent and cfg.env_drop_stage == "before_adain":
+            inputs = self._apply_env_noise(inputs, env_noise)
+        gumbel_rng = (self.make_rng("dropout")
+                      if (cfg.a_type == "gumbel_sigmoid" and not is_test)
+                      else None)
+        inputs = self.apply_adain(inputs, is_test=is_test,
+                                  gumbel_rng=gumbel_rng)
+        if consistent and cfg.env_drop_stage == "after_adain":
+            inputs = self._apply_env_noise(inputs, env_noise)
+        ctx, h0, c0, ctx_v = self.encode_step(
+            cached, valid_mask, seq_len, inputs.f_t,
+            deterministic=deterministic)
+        if ctx_v is not None:
+            inputs = inputs._replace(d_t=inputs.d_t + ctx_v)
+        first = is_first.astype(h0.dtype)[:, None]
+        state = DecoderState(
+            h=first * h0 + (1 - first) * state.h,
+            c=first * c0 + (1 - first) * state.c,
+            h1=first * h0 + (1 - first) * state.h1,
+        )
+        state, logit, aux = self.decode_step(
+            inputs, state, ctx, ~valid_mask, deterministic=deterministic,
+            already_dropfeat=consistent, input_noise=input_noise,
+            output_noise=output_noise)
+        value = self.critic(state.h, deterministic=deterministic)
+        return state, logit, value, aux
+
     # ---- init convenience ----
     def __call__(self, instr, valid_mask, seq_len, inputs: StepInputs):
         cached = self.encode_text(instr, valid_mask, seq_len)

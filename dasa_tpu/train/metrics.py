@@ -1,0 +1,43 @@
+"""Training metrics: TensorBoard when available, JSONL always.
+
+Replaces the reference's SummaryWriter + pandas CSV logging
+(r2r_src/train.py:95, 256-302, 374-383)."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+
+class MetricsWriter:
+    def __init__(self, log_dir: str, use_tensorboard: bool = True):
+        os.makedirs(log_dir, exist_ok=True)
+        self.jsonl_path = os.path.join(log_dir, "metrics.jsonl")
+        self._jsonl = open(self.jsonl_path, "a")
+        self.tb = None
+        if use_tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self.tb = SummaryWriter(log_dir=log_dir)
+            except Exception:
+                self.tb = None
+
+    def add_scalar(self, tag: str, value: float, step: int):
+        self._jsonl.write(json.dumps(
+            {"t": time.time(), "tag": tag, "value": float(value),
+             "step": int(step)}) + "\n")
+        if self.tb is not None:
+            self.tb.add_scalar(tag, value, step)
+
+    def flush(self):
+        self._jsonl.flush()
+        if self.tb is not None:
+            self.tb.flush()
+
+    def close(self):
+        self._jsonl.close()
+        if self.tb is not None:
+            self.tb.close()

@@ -1,0 +1,223 @@
+"""Training / validation drivers and world setup.
+
+Mirrors the reference CLI surface (r2r_src/train.py): `listener`,
+`auglistener` (org/aug alternation with ml_weight_org/aug and optional
+speaker back-translation), `validlistener` (+--submit JSON dump),
+`speaker`, `validspeaker`.  Best-checkpoint policy tracks best SR per val
+env, best val_unseen SPL, and best SR-sum (train.py:306-365).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections import defaultdict
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from dasa_tpu.agents import Seq2SeqAgent
+from dasa_tpu.config import Config
+from dasa_tpu.data.datasets import expand_instructions, load_datasets
+from dasa_tpu.data.features import FeatureDB, load_feature_db
+from dasa_tpu.env import R2REnv
+from dasa_tpu.train.evaluation import Evaluation
+from dasa_tpu.train.metrics import MetricsWriter
+from dasa_tpu.utils import Tokenizer, build_vocab, read_vocab, write_vocab
+from dasa_tpu.utils.misc import set_seed
+
+
+class World:
+    """Shared data context: tokenizer, feature stores, envs, evaluators."""
+
+    def __init__(self, cfg: Config, splits=("train",),
+                 val_splits=("val_seen", "val_unseen")):
+        self.cfg = cfg
+        set_seed(cfg.seed)
+        train_raw = load_datasets(["train"], cfg.data_dir)
+        vocab_path = cfg.vocab_path or os.path.join(
+            cfg.data_dir, "train_vocab.txt")
+        if os.path.exists(vocab_path):
+            vocab = read_vocab(vocab_path)
+        else:
+            vocab = build_vocab(train_raw, min_count=5)
+            if len(vocab) < 20:  # tiny synthetic data: keep every word
+                vocab = build_vocab(train_raw, min_count=1)
+            write_vocab(vocab, vocab_path)
+        self.tok = Tokenizer(vocab, encoding_length=cfg.max_input)
+
+        scans = sorted({d["scan"] for split in set(
+            list(splits) + list(val_splits) + (["aug"] if cfg.aug else []))
+            for d in load_datasets([split if split != "aug" else cfg.aug],
+                                   cfg.data_dir)})
+        self.feature_db = load_feature_db(
+            cfg.img_features_path, scans, cfg.connectivity_dir,
+            dim=cfg.feature_size)
+        self.depth_db = None
+        if cfg.adain_type != "none" or cfg.depth_features_path:
+            self.depth_db = load_feature_db(
+                cfg.depth_features_path, scans, cfg.connectivity_dir,
+                dim=cfg.feature_size, salt=0x9E3779B9)
+
+        self.envs: Dict[str, R2REnv] = {}
+        self.evaluators: Dict[str, Evaluation] = {}
+        for split in list(splits) + list(val_splits):
+            self._add_env(split)
+        if cfg.aug:
+            raw = load_datasets([cfg.aug], cfg.data_dir)
+            items = expand_instructions(raw, self.tok, cfg.max_input)
+            self.envs["aug"] = self._make_env(items, "aug")
+
+    def _make_env(self, items, name):
+        cfg = self.cfg
+        return R2REnv(self.feature_db, items, batch_size=cfg.batch_size,
+                      seed=cfg.seed, name=name,
+                      connectivity_dir=cfg.connectivity_dir,
+                      max_candidates=cfg.max_candidates,
+                      max_input=cfg.max_input, depth_db=self.depth_db)
+
+    def _add_env(self, split):
+        raw = load_datasets([split], self.cfg.data_dir)
+        items = expand_instructions(raw, self.tok, self.cfg.max_input)
+        self.envs[split] = self._make_env(items, split)
+        self.evaluators[split] = Evaluation(
+            raw, self.cfg.connectivity_dir, splits=[split])
+
+
+def make_agent(cfg: Config, world: World, env_name: str = "train"
+               ) -> Seq2SeqAgent:
+    return Seq2SeqAgent(cfg, world.envs[env_name], world.feature_db,
+                        depth_db=world.depth_db,
+                        vocab_size=len(world.tok))
+
+
+def run_validation(agent: Seq2SeqAgent, world: World, writer, it: int,
+                   best: dict, snap_dir: str,
+                   val_splits=("val_seen", "val_unseen")) -> str:
+    loss_str = ""
+    current_sr_sum = 0.0
+    for env_name in val_splits:
+        agent.env = world.envs[env_name]
+        results = agent.test(feedback="argmax")
+        summary, _ = world.evaluators[env_name].score(results)
+        loss_str += ", %s " % env_name
+        for metric, val in summary.items():
+            loss_str += ", %s: %.3f" % (metric, val)
+            if writer:
+                writer.add_scalar(f"metric/{env_name}_{metric}", val, it)
+        sr = summary["success_rate"]
+        current_sr_sum += sr
+        if sr > best.setdefault(env_name, 0.0):
+            best[env_name] = sr
+            agent.save(it, os.path.join(snap_dir, f"best_{env_name}"))
+        if env_name == "val_unseen" and \
+                summary["spl"] > best.setdefault("spl_unseen", 0.0):
+            best["spl_unseen"] = summary["spl"]
+            agent.save(it, os.path.join(snap_dir, "best_spl_unseen"))
+    if current_sr_sum > best.setdefault("sr_sum", 0.0):
+        best["sr_sum"] = current_sr_sum
+        agent.save(it, os.path.join(snap_dir, "best_sr_sum"))
+    return loss_str
+
+
+def train(cfg: Config, world: Optional[World] = None,
+          speaker=None) -> Seq2SeqAgent:
+    """listener / auglistener training (train.py:157-393)."""
+    world = world or World(cfg)
+    agent = make_agent(cfg, world)
+    train_env = world.envs["train"]
+    aug_env = world.envs.get("aug")
+    snap_dir = os.path.join(cfg.snap_dir, cfg.name, "state_dict")
+    os.makedirs(snap_dir, exist_ok=True)
+    writer = MetricsWriter(os.path.join(cfg.log_dir, cfg.name))
+
+    if cfg.self_train and speaker is None:
+        from dasa_tpu.agents.speaker import SpeakerAgent
+
+        speaker = SpeakerAgent(cfg, train_env, world.feature_db,
+                               vocab_size=len(world.tok), tok=world.tok)
+        if cfg.speaker is not None:
+            speaker.load(cfg.speaker)
+
+    start_iter = 0
+    if cfg.load is not None:
+        start_iter = agent.load(cfg.load)
+        print(f"Loaded listener from {cfg.load} at iter {start_iter}")
+
+    best: dict = {}
+    feedback = cfg.feedback
+    log_every = 40 if cfg.fast_train else cfg.log_every
+    start = time.time()
+
+    for idx in range(start_iter, start_iter + cfg.iters, log_every):
+        agent.logs = defaultdict(list)
+        interval = min(log_every, start_iter + cfg.iters - idx)
+        it = idx + interval
+
+        if aug_env is None:
+            agent.env = train_env
+            agent.train(interval, feedback=feedback)
+        else:
+            for _ in range(interval // 2):
+                agent.zero_grad()
+                agent.env = train_env
+                agent.accumulate_gradient(feedback,
+                                          ml_weight=cfg.ml_weight_org)
+                agent.env = aug_env
+                agent.accumulate_gradient(feedback,
+                                          ml_weight=cfg.ml_weight_aug,
+                                          speaker=speaker)
+                agent.optim_step()
+
+        total = max(sum(agent.logs.get("total", [])), 1)
+        for tag in ("loss", "ml_loss", "forth_loss", "rl_loss"):
+            vals = agent.logs.get(tag, [])
+            if vals:
+                writer.add_scalar(f"loss/{tag}", float(np.mean(vals)), it)
+        if agent.logs.get("critic_loss"):
+            writer.add_scalar("loss/critic",
+                              sum(agent.logs["critic_loss"]) / total, it)
+        if agent.logs.get("entropy"):
+            writer.add_scalar("policy/entropy",
+                              sum(agent.logs["entropy"]) / total, it)
+
+        if it % cfg.val_every == 0:
+            loss_str = run_validation(agent, world, writer, it, best,
+                                      snap_dir)
+            elapsed = time.time() - start
+            print("PROGRESS: %d/%d (%.0fs)%s" % (
+                it, start_iter + cfg.iters, elapsed, loss_str), flush=True)
+        if it % cfg.save_every == 0:
+            agent.save(it, os.path.join(snap_dir, f"LAST_iter{it}"))
+        writer.flush()
+
+    agent.save(start_iter + cfg.iters,
+               os.path.join(snap_dir, f"LAST_iter{start_iter + cfg.iters}"))
+    return agent
+
+
+def valid(cfg: Config, world: Optional[World] = None) -> Dict[str, dict]:
+    """validlistener (train.py:396-421)."""
+    world = world or World(cfg)
+    agent = make_agent(cfg, world)
+    if cfg.load is not None:
+        it = agent.load(cfg.load)
+        print(f"Loaded listener at iter {it} from {cfg.load}")
+    out = {}
+    os.makedirs(os.path.join(cfg.log_dir, cfg.name), exist_ok=True)
+    for env_name, env in world.envs.items():
+        if env_name == "aug" or env_name == "train":
+            continue
+        agent.env = env
+        results = agent.test(feedback="argmax")
+        summary, _ = world.evaluators[env_name].score(results)
+        out[env_name] = summary
+        print("Env name: %s, %s" % (env_name, ", ".join(
+            "%s: %.4f" % (m, v) for m, v in summary.items())), flush=True)
+        if cfg.submit:
+            path = os.path.join(cfg.log_dir, cfg.name,
+                                f"submit_{env_name}.json")
+            with open(path, "w") as f:
+                json.dump(results, f, sort_keys=True, indent=2)
+    return out

@@ -1,0 +1,152 @@
+"""Agent integration tests on tiny synthetic data over real graphs:
+teacher-feedback acting, IL training convergence, argmax eval, the
+IL+A2C mixed objective, and checkpoint save/load."""
+
+import numpy as np
+import pytest
+
+from dasa_tpu.agents import Seq2SeqAgent
+from dasa_tpu.config import Config
+from dasa_tpu.data.datasets import (
+    expand_instructions,
+    load_datasets,
+    make_synthetic_task,
+)
+from dasa_tpu.data.features import FeatureDB
+from dasa_tpu.env import R2REnv
+from dasa_tpu.train import Evaluation
+from dasa_tpu.utils import Tokenizer, build_vocab
+
+SCAN = "17DRP5sb8fy"
+SCAN2 = "2t7WUuJeko7"
+DIM = 24
+L = 24
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        rnn_dim=32, wemb=16, aemb=8, critic_dim=32, angle_feat_size=8,
+        feature_size=DIM, max_input=L, max_candidates=16, max_action=8,
+        dropout=0.3, featdropout=0.3, batch_size=4, lr=3e-3, optim="adam",
+        d_enc_hidden_size=16, d_hidden_size=32, d_vl_layers=1,
+        d_la_layers=1, ml_weight=0.2, teacher_weight=1.0,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+@pytest.fixture(scope="module")
+def world(connectivity_dir, tmp_path_factory):
+    data_dir = str(tmp_path_factory.mktemp("task"))
+    make_synthetic_task(data_dir, [SCAN], [SCAN2], n_train=16, n_val=4,
+                        connectivity_dir=connectivity_dir)
+    feature_db = FeatureDB.synthetic([SCAN, SCAN2], connectivity_dir,
+                                     dim=DIM)
+    depth_db = FeatureDB.synthetic([SCAN, SCAN2], connectivity_dir,
+                                   dim=DIM, salt=7)
+    train_raw = load_datasets(["train"], data_dir)
+    vocab = build_vocab(train_raw, min_count=1)
+    tok = Tokenizer(vocab, encoding_length=L)
+    return data_dir, feature_db, depth_db, tok
+
+
+def make_env(world, cfg, split, connectivity_dir):
+    data_dir, feature_db, depth_db, tok = world
+    raw = load_datasets([split], data_dir)
+    items = expand_instructions(raw, tok, max_input=cfg.max_input)
+    env = R2REnv(feature_db, items, batch_size=cfg.batch_size,
+                 connectivity_dir=connectivity_dir,
+                 max_candidates=cfg.max_candidates,
+                 max_input=cfg.max_input, name=split, depth_db=depth_db)
+    return env, raw
+
+
+def test_teacher_rollout_and_results(world, connectivity_dir):
+    cfg = tiny_cfg()
+    data_dir, feature_db, depth_db, tok = world
+    env, raw = make_env(world, cfg, "val_seen", connectivity_dir)
+    agent = Seq2SeqAgent(cfg, env, feature_db, vocab_size=len(tok))
+    trajs = agent.rollout(train_ml=None, train_rl=False,
+                          feedback="teacher")
+    assert len(trajs) == cfg.batch_size
+    # teacher feedback follows the shortest path => perfect score
+    ev = Evaluation(raw, connectivity_dir, splits=["val_seen"])
+    summary, _ = ev.score(list(agent.results.values()), allow_partial=True)
+    assert summary["success_rate"] == 1.0
+
+
+def test_argmax_eval_runs(world, connectivity_dir):
+    cfg = tiny_cfg()
+    data_dir, feature_db, depth_db, tok = world
+    env, raw = make_env(world, cfg, "val_seen", connectivity_dir)
+    agent = Seq2SeqAgent(cfg, env, feature_db, vocab_size=len(tok))
+    results = agent.test(feedback="argmax")
+    assert len(results) == env.size()
+    ev = Evaluation(raw, connectivity_dir, splits=["val_seen"])
+    summary, _ = ev.score(results)
+    assert 0.0 <= summary["success_rate"] <= 1.0
+
+
+def test_il_training_reduces_loss(world, connectivity_dir):
+    cfg = tiny_cfg()
+    data_dir, feature_db, depth_db, tok = world
+    env, _ = make_env(world, cfg, "train", connectivity_dir)
+    agent = Seq2SeqAgent(cfg, env, feature_db, vocab_size=len(tok))
+    losses = []
+    for _ in range(12):
+        agent.zero_grad()
+        agent.rollout(train_ml=1.0, train_rl=False, feedback="teacher")
+        agent.optim_step()
+        losses.append(agent.losses[-1])
+    assert np.mean(losses[-4:]) < np.mean(losses[:4]) * 0.9, losses
+
+
+def test_mixed_il_rl_training_step(world, connectivity_dir):
+    cfg = tiny_cfg()
+    data_dir, feature_db, depth_db, tok = world
+    env, _ = make_env(world, cfg, "train", connectivity_dir)
+    agent = Seq2SeqAgent(cfg, env, feature_db, vocab_size=len(tok))
+    agent.zero_grad()
+    agent.accumulate_gradient("sample")
+    assert agent._grad_accum is not None
+    agent.optim_step()
+    assert "rl_loss" in agent.logs and "critic_loss" in agent.logs
+    assert np.isfinite(agent.logs["rl_loss"]).all()
+
+
+def test_dg_policy_full_config_rollout(world, connectivity_dir):
+    """Full DASA wiring: Dic encoder + vision, AdaIN channel, shift
+    attention, consistent env-drop, depth drop."""
+    cfg = tiny_cfg(
+        encoder_type="Dic", include_vision=True, adain_type="channel",
+        ab_type="a", a_type="sigmoid", use_shift=True,
+        shift_kernel_size=5, depth_drop=True, consistent_drop=True,
+        env_drop_stage="after_adain", max_action=4, batch_size=2)
+    data_dir, feature_db, depth_db, tok = world
+    env, _ = make_env(world, cfg, "train", connectivity_dir)
+    agent = Seq2SeqAgent(cfg, env, feature_db, depth_db=depth_db,
+                         vocab_size=len(tok))
+    agent.zero_grad()
+    agent.rollout(train_ml=0.4, train_rl=False, feedback="teacher")
+    agent.rollout(train_ml=None, train_rl=True, feedback="sample")
+    agent.optim_step()
+    assert np.isfinite(agent.losses).all()
+
+
+def test_save_load_roundtrip(world, connectivity_dir, tmp_path):
+    cfg = tiny_cfg(load_optim=True)
+    data_dir, feature_db, depth_db, tok = world
+    env, _ = make_env(world, cfg, "train", connectivity_dir)
+    agent = Seq2SeqAgent(cfg, env, feature_db, vocab_size=len(tok))
+    path = str(tmp_path / "ckpt.pkl")
+    agent.save(3, path)
+    agent2 = Seq2SeqAgent(cfg, env, feature_db, vocab_size=len(tok),
+                          rng_seed=99)
+    epoch = agent2.load(path)
+    assert epoch == 3
+    import jax
+
+    a = jax.tree_util.tree_leaves(agent.params)
+    b = jax.tree_util.tree_leaves(agent2.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
