@@ -122,6 +122,7 @@ class Seq2SeqAgent:
         self._grad_accum = None
         self._jit_cache: Dict = {}
         self.iter_count = 0
+        self.total_env_steps = 0  # (episode, step) pairs processed
 
     # ------------------------------------------------------------------
     def _init_params(self, rng_seed: int):
@@ -480,6 +481,7 @@ class Seq2SeqAgent:
             rewards.append(reward)
             rl_masks.append(mask)
             last_dist = dist.copy()
+            self.total_env_steps += int((~ended).sum())
             ended = ended | (a_env == -1)
             if ended.all():
                 break

@@ -197,6 +197,74 @@ def train(cfg: Config, world: Optional[World] = None,
     return agent
 
 
+def train_speaker(cfg: Config, world: Optional[World] = None):
+    """Speaker training with best-BLEU/loss checkpoints
+    (train.py:110-155)."""
+    from dasa_tpu.agents.speaker import SpeakerAgent
+
+    world = world or World(cfg)
+    speaker = SpeakerAgent(cfg, world.envs["train"], world.feature_db,
+                           vocab_size=len(world.tok), tok=world.tok)
+    snap_dir = os.path.join(cfg.snap_dir, cfg.name, "state_dict")
+    os.makedirs(snap_dir, exist_ok=True)
+    writer = MetricsWriter(os.path.join(cfg.log_dir, cfg.name))
+    best_bleu = defaultdict(lambda: 0.0)
+    best_loss = defaultdict(lambda: 1e9)
+    log_every = 40 if cfg.fast_train else cfg.log_every
+    for idx in range(0, cfg.iters, log_every):
+        interval = min(log_every, cfg.iters - idx)
+        it = idx + interval
+        speaker.env = world.envs["train"]
+        losses = speaker.train(interval)
+        writer.add_scalar("speaker/train_loss", float(np.mean(losses)), it)
+        if it % cfg.val_every == 0:
+            for env_name in ("val_seen", "val_unseen"):
+                if env_name not in world.envs:
+                    continue
+                speaker.env = world.envs[env_name]
+                path2inst, loss, word_accu, sent_accu = speaker.valid()
+                bleu, _ = world.evaluators[env_name].bleu_score(
+                    path2inst, world.tok)
+                writer.add_scalar(f"speaker/{env_name}_bleu", bleu, it)
+                writer.add_scalar(f"speaker/{env_name}_loss", loss, it)
+                if bleu > best_bleu[env_name]:
+                    best_bleu[env_name] = bleu
+                    speaker.save(it, os.path.join(
+                        snap_dir, f"best_{env_name}_bleu"))
+                if loss < best_loss[env_name]:
+                    best_loss[env_name] = loss
+                    speaker.save(it, os.path.join(
+                        snap_dir, f"best_{env_name}_loss"))
+                print(f"SPEAKER iter {it} {env_name}: bleu {bleu:.4f} "
+                      f"loss {loss:.4f} word_accu {word_accu:.4f}",
+                      flush=True)
+            writer.flush()
+    speaker.save(cfg.iters, os.path.join(snap_dir, f"LAST_iter{cfg.iters}"))
+    return speaker
+
+
+def valid_speaker(cfg: Config, world: Optional[World] = None):
+    from dasa_tpu.agents.speaker import SpeakerAgent
+
+    world = world or World(cfg)
+    speaker = SpeakerAgent(cfg, world.envs["train"], world.feature_db,
+                           vocab_size=len(world.tok), tok=world.tok)
+    if cfg.load:
+        speaker.load(cfg.load)
+    out = {}
+    for env_name in ("val_seen", "val_unseen"):
+        if env_name not in world.envs:
+            continue
+        speaker.env = world.envs[env_name]
+        path2inst, loss, word_accu, sent_accu = speaker.valid()
+        bleu, precisions = world.evaluators[env_name].bleu_score(
+            path2inst, world.tok)
+        out[env_name] = {"bleu": bleu, "loss": loss,
+                         "word_accu": word_accu, "sent_accu": sent_accu}
+        print(f"{env_name}: bleu {bleu:.4f} loss {loss:.4f}", flush=True)
+    return out
+
+
 def valid(cfg: Config, world: Optional[World] = None) -> Dict[str, dict]:
     """validlistener (train.py:396-421)."""
     world = world or World(cfg)

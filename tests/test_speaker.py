@@ -1,0 +1,77 @@
+"""Speaker tests: teacher-forcing training convergence, inference,
+back-translation relabeling, BLEU plumbing."""
+
+import numpy as np
+import pytest
+
+from dasa_tpu.agents.speaker import SpeakerAgent
+from dasa_tpu.config import Config
+from dasa_tpu.data.datasets import (
+    expand_instructions,
+    load_datasets,
+    make_synthetic_task,
+)
+from dasa_tpu.data.features import FeatureDB
+from dasa_tpu.env import R2REnv
+from dasa_tpu.train import Evaluation
+from dasa_tpu.utils import Tokenizer, build_vocab
+
+SCAN = "17DRP5sb8fy"
+DIM = 24
+L = 24
+
+
+@pytest.fixture(scope="module")
+def world(connectivity_dir, tmp_path_factory):
+    data_dir = str(tmp_path_factory.mktemp("task"))
+    make_synthetic_task(data_dir, [SCAN], [SCAN], n_train=10, n_val=4,
+                        connectivity_dir=connectivity_dir)
+    feature_db = FeatureDB.synthetic([SCAN], connectivity_dir, dim=DIM)
+    raw = load_datasets(["train"], data_dir)
+    vocab = build_vocab(raw, min_count=1)
+    tok = Tokenizer(vocab, encoding_length=L)
+    cfg = Config(rnn_dim=32, wemb=16, aemb=8, angle_feat_size=8,
+                 feature_size=DIM, max_input=L, max_decode=L,
+                 max_candidates=16, max_action=8, dropout=0.2,
+                 featdropout=0.2, batch_size=4, lr=3e-3, optim="adam")
+    items = expand_instructions(raw, tok, max_input=L)
+    env = R2REnv(feature_db, items, batch_size=4,
+                 connectivity_dir=connectivity_dir, max_candidates=16,
+                 max_input=L, name="train")
+    return cfg, env, feature_db, tok, raw
+
+
+def test_speaker_training_reduces_loss(world):
+    cfg, env, feature_db, tok, raw = world
+    sp = SpeakerAgent(cfg, env, feature_db, vocab_size=len(tok), tok=tok)
+    losses = sp.train(14)
+    assert np.mean(losses[-4:]) < np.mean(losses[:4]) * 0.95, losses
+
+
+def test_speaker_infer_and_relabel(world):
+    cfg, env, feature_db, tok, raw = world
+    sp = SpeakerAgent(cfg, env, feature_db, vocab_size=len(tok), tok=tok)
+    env.reset()
+    words = sp.infer_batch()
+    assert words.shape == (4, cfg.max_decode)
+    assert words.dtype in (np.int32, np.int64)
+    # relabel: instructions replaced and re-encoded
+    import jax.numpy as jnp
+    import jax
+
+    noise = jnp.ones((cfg.feature_size,))
+    old_instr = [item["instructions"] for item in env.batch]
+    obs = sp.relabel_batch(env, noise, jax.random.PRNGKey(0))
+    assert obs.instr.shape[0] == 4
+    for item in env.batch:
+        assert "instr_encoding" in item
+
+
+def test_speaker_valid_and_bleu(world):
+    cfg, env, feature_db, tok, raw = world
+    sp = SpeakerAgent(cfg, env, feature_db, vocab_size=len(tok), tok=tok)
+    path2inst, loss, word_accu, sent_accu = sp.valid()
+    assert len(path2inst) == env.size() // 3  # 3 instructions per path
+    ev = Evaluation(raw, splits=["train"])
+    bleu, precisions = ev.bleu_score(path2inst, tok)
+    assert 0.0 <= bleu <= 1.0

@@ -1,0 +1,39 @@
+#!/usr/bin/env python
+"""dasa_tpu CLI — mode dispatch mirroring the reference driver
+(r2r_src/train.py:697-706):
+
+    python train.py --train listener        # IL+RL training
+    python train.py --train auglistener     # + aug env / back-translation
+    python train.py --train validlistener [--submit]
+    python train.py --train speaker
+    python train.py --train validspeaker
+
+Accepts the reference's flag spellings (--batchSize, --mlWeight_org, ...)
+as well as snake_case.  Use --data_dir to point at R2R_{split}.json files;
+without real data, scripts/make_task.py generates a synthetic task over
+the real connectivity graphs.
+"""
+
+import sys
+
+from dasa_tpu.config import parse_args
+from dasa_tpu.train import trainer
+
+
+def main(argv=None):
+    cfg = parse_args(argv)
+    print(cfg.to_json())
+    if cfg.train in ("listener", "auglistener"):
+        trainer.train(cfg)
+    elif cfg.train == "validlistener":
+        trainer.valid(cfg)
+    elif cfg.train == "speaker":
+        trainer.train_speaker(cfg)
+    elif cfg.train == "validspeaker":
+        trainer.valid_speaker(cfg)
+    else:
+        sys.exit(f"unknown --train mode: {cfg.train}")
+
+
+if __name__ == "__main__":
+    main()
