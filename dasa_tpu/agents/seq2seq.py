@@ -490,7 +490,17 @@ class Seq2SeqAgent:
             self.results[iid] = {"instr_id": iid, "trajectory": tr}
 
         if training:
-            n_steps = len(records)
+            # bucket T to multiples of 8 so the scanned replay compiles a
+            # handful of variants instead of one per episode length;
+            # padded steps are inert (active=False, rl_mask=0, reward=0)
+            n_steps = min(self.episode_len, -(-len(records) // 8) * 8)
+            while len(records) < n_steps:
+                pad = {k: v.copy() for k, v in records[-1].items()}
+                pad["active"] = np.zeros_like(pad["active"])
+                pad["is_first"] = np.zeros_like(pad["is_first"])
+                records.append(pad)
+                rewards.append(np.zeros(batch_size, np.float32))
+                rl_masks.append(np.zeros(batch_size, np.float32))
             stacked = {
                 k: jnp.asarray(np.stack([r[k] for r in records]))
                 for k in records[0]

@@ -2,15 +2,22 @@
 
 Replaces the reference's EnvBatch + R2RBatch (r2r_src/env.py:33-504).
 Episodic control (graphs, shortest paths, candidate geometry, minibatch
-iteration) stays on host; observations are fixed-shape numpy structs whose
-feature content is gathered on device.  Candidate geometry per
-(scan, viewpoint) is cached once — the reference proves this is sound with
-its buffered_state_dict (env.py:291-297).
+iteration) stays on host; observations are fixed-shape numpy structs
+whose feature content is gathered on device.  Candidate geometry per
+(scan, viewpoint) is cached once — the reference proves this is sound
+with its buffered_state_dict (env.py:291-297).
+
+Two interchangeable backends drive the episodes:
+
+- ``python``: :class:`dasa_tpu.sim.engine.BatchSim` (numpy).
+- ``native``: the C++ engine (dasa_tpu/sim/native/dasasim.cpp) — graph
+  loading, Dijkstra, candidate precompute, and the entire batched
+  observation fill happen in one C call per step, replacing the
+  reference's serial per-sim Python stepping (env.py:72-120).
 """
 
 from __future__ import annotations
 
-import math
 import random
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -18,9 +25,8 @@ import numpy as np
 
 from dasa_tpu.data.features import FeatureDB
 from dasa_tpu.env.obs import Obs
-from dasa_tpu.sim.engine import BatchSim, PanoCandidates
+from dasa_tpu.sim.engine import BatchSim, PanoCandidates, micro_trajectory
 from dasa_tpu.sim.graph import ScanGraph, load_scan_graph
-from dasa_tpu.utils.angles import HEADING_COUNT, HEADING_INC
 
 
 class R2REnv:
@@ -28,8 +34,8 @@ class R2REnv:
 
     Actions per step are candidate indices into the obs' K slots; the
     STOP action is index ``cand_n`` (or -1, both accepted).  Trajectories
-    (with reference-equivalent micro-steps) are recorded into caller-owned
-    lists for evaluation.
+    (with reference-equivalent micro-steps) are recorded into
+    caller-owned lists for evaluation.
     """
 
     def __init__(
@@ -43,6 +49,7 @@ class R2REnv:
         max_candidates: int = 16,
         max_input: int = 80,
         depth_db: Optional[FeatureDB] = None,
+        backend: str = "auto",
     ):
         self.feature_db = feature_db
         self.depth_db = depth_db
@@ -54,20 +61,54 @@ class R2REnv:
         self.max_candidates = max_candidates
         self.max_input = max_input
         self.scans = sorted({d["scan"] for d in self.data})
-        self.sim = BatchSim(batch_size, connectivity_dir, seed=seed)
+
         self.graphs: Dict[str, ScanGraph] = {}
         for scan in self.scans:
             g = load_scan_graph(scan, connectivity_dir)
-            g.compute_shortest_paths()
             self.graphs[scan] = g
+
+        # backend selection
+        self.native = None
+        self._scan_handle: Dict[str, int] = {}
+        if backend in ("auto", "native"):
+            try:
+                from dasa_tpu.sim.csim import NativeEngine
+
+                self.native = NativeEngine(k_max=max_candidates)
+                for scan in self.scans:
+                    h = self.native.load_scan(scan, connectivity_dir)
+                    self._scan_handle[scan] = h
+                    g = self.graphs[scan]
+                    rows = np.zeros(g.num_nodes, np.int32)
+                    for i in np.nonzero(g.included)[0]:
+                        key = f"{scan}_{g.ids[int(i)]}"
+                        rows[i] = feature_db.id2row.get(key, 0)
+                    self.native.set_feat_rows(h, rows)
+            except Exception:
+                if backend == "native":
+                    raise
+                self.native = None
+        if self.native is None:
+            for g in self.graphs.values():
+                g.compute_shortest_paths()
+            self.sim = BatchSim(batch_size, connectivity_dir, seed=seed)
+        else:
+            self.sim = None
+
         self._rng = random.Random(seed)
         self._rng.shuffle(self.data)
         self.ix = 0
         self.batch: List[dict] = []
-        # per-episode goal/start node indices
         self._goal_ix = np.zeros(batch_size, dtype=np.int64)
         self._start_ix = np.zeros(batch_size, dtype=np.int64)
         self._total_dist = np.zeros(batch_size, dtype=np.float64)
+        # episode-static obs fields, cached at reset
+        self._static: Optional[dict] = None
+        self._last_obs: Optional[Obs] = None
+
+    @property
+    def backend(self) -> str:
+        return "native" if self.native is not None else "python"
 
     def size(self) -> int:
         return len(self.data)
@@ -108,44 +149,111 @@ class R2REnv:
             self.batch[: len(batch)] = batch
         else:
             self.batch = batch
+        b = len(self.batch)
         scans = [item["scan"] for item in self.batch]
         if random_start:
             starts = [self._rng.choice(item["path"]) for item in self.batch]
         else:
             starts = [item["path"][0] for item in self.batch]
-        headings = [item["heading"] for item in self.batch]
-        self.sim.new_episodes(scans, starts, headings)
+        headings = np.array([item["heading"] for item in self.batch],
+                            np.float64)
+        start_ix = np.array(
+            [self.graphs[s].id2ix[vp] for s, vp in zip(scans, starts)],
+            np.int64)
+        goal_ix = np.array(
+            [self.graphs[s].id2ix[item["path"][-1]]
+             for s, item in zip(scans, self.batch)], np.int64)
+        path0_ix = np.array(
+            [self.graphs[s].id2ix[item["path"][0]]
+             for s, item in zip(scans, self.batch)], np.int64)
+        self._goal_ix[:b] = goal_ix
+        self._start_ix[:b] = path0_ix
+
+        if self.native is not None:
+            scan_h = np.array([self._scan_handle[s] for s in scans],
+                              np.int32)
+            self.native.reset(scan_h, start_ix.astype(np.int32),
+                              path0_ix.astype(np.int32),
+                              goal_ix.astype(np.int32), headings)
+            for i in range(b):
+                self._total_dist[i] = self.native.distance(
+                    int(scan_h[i]), int(path0_ix[i]), int(goal_ix[i]))
+        else:
+            self.sim.new_episodes(scans, starts, headings)
+            for i, item in enumerate(self.batch):
+                g = self.graphs[item["scan"]]
+                self._total_dist[i] = g.dist[path0_ix[i], goal_ix[i]]
+
+        # episode-static language fields
+        L = self.max_input
+        instr = np.zeros((b, L), dtype=np.int32)
+        seq_len = np.zeros(b, dtype=np.int32)
         for i, item in enumerate(self.batch):
-            g = self.graphs[item["scan"]]
-            self._goal_ix[i] = g.id2ix[item["path"][-1]]
-            self._start_ix[i] = g.id2ix[item["path"][0]]
-            self._total_dist[i] = g.dist[g.id2ix[item["path"][0]],
-                                         self._goal_ix[i]]
+            enc = np.asarray(item["instr_encoding"])
+            n_tok = min(len(enc), L)
+            instr[i, :n_tok] = enc[:n_tok]
+            nz = np.nonzero(enc == 0)[0]
+            seq_len[i] = int(nz[0]) if len(nz) else len(enc)
+        self._static = {"instr": instr, "pad_mask": instr == 0,
+                        "seq_len": seq_len}
         return self._get_obs()
 
     def step(self, actions: Sequence[int],
              trajs: Optional[List[list]] = None) -> Obs:
-        """actions: candidate index per episode; -1 or cand_n = STOP."""
+        """actions: candidate index per episode; -1 or >= cand_n = STOP."""
+        if self.native is not None:
+            obs = self._last_obs
+            acts = np.asarray(actions, np.int32)
+            acts = np.where(acts >= obs.cand_n, -1, acts)
+            if trajs is not None:
+                scan_h, node, view, _ = self.native.get_state()
+                for i, a in enumerate(acts):
+                    if a < 0:
+                        continue
+                    scan = self.batch[i]["scan"]
+                    g = self.graphs[scan]
+                    trg = int(obs.cand_point_id[i, a])
+                    micro_trajectory(g.ids[int(node[i])], int(view[i]),
+                                     trg, trajs[i])
+                    trajs[i].append((
+                        g.ids[int(obs.cand_nbr_ix[i, a])],
+                        (trg % 12) * (np.pi / 6),
+                        (trg // 12 - 1) * (np.pi / 6)))
+            self.native.step(acts)
+            return self._get_obs()
         for i, a in enumerate(actions):
             a = int(a)
             st = self.sim.states[i]
             n = len(self.sim.candidates(st.scan, st.ix).nbr_ix)
             if a < 0 or a >= n:
-                continue  # STOP / ended: no state change
+                continue
             self.sim.step_candidate(i, a, None if trajs is None else trajs[i])
         return self._get_obs()
 
     # -- state access for the agent/evaluator --
     def state_tuples(self) -> List[Tuple[str, float, float]]:
-        """(viewpointId, heading, elevation) per episode, the trajectory
+        """(viewpointId, heading, elevation) per episode — the trajectory
         entry format of the submission JSON (eval.py:17)."""
-        out = []
-        for st in self.sim.states:
-            out.append((st.graph.ids[st.ix], st.heading, st.elevation))
-        return out
+        if self.native is not None:
+            _, node, view, _ = self.native.get_state()
+            out = []
+            for i in range(len(self.batch)):
+                g = self.graphs[self.batch[i]["scan"]]
+                out.append((g.ids[int(node[i])],
+                            (int(view[i]) % 12) * (np.pi / 6),
+                            (int(view[i]) // 12 - 1) * (np.pi / 6)))
+            return out
+        return [(st.graph.ids[st.ix], st.heading, st.elevation)
+                for st in self.sim.states]
 
     def current_viewpoints(self) -> List[str]:
-        return [st.graph.ids[st.ix] for st in self.sim.states]
+        return [t[0] for t in self.state_tuples()]
+
+    def current_nodes(self) -> np.ndarray:
+        if self.native is not None:
+            _, node, _, _ = self.native.get_state()
+            return node
+        return np.array([st.ix for st in self.sim.states[:len(self.batch)]])
 
     def instr_ids(self) -> List[str]:
         return [item["instr_id"] for item in self.batch]
@@ -168,70 +276,72 @@ class R2REnv:
     def _get_obs(self) -> Obs:
         b = len(self.batch)
         k = self.max_candidates
-        L = self.max_input
-        instr = np.zeros((b, L), dtype=np.int32)
-        seq_len = np.zeros(b, dtype=np.int32)
-        feat_row = np.zeros(b, dtype=np.int32)
-        view_index = np.zeros(b, dtype=np.int32)
-        heading = np.zeros(b, dtype=np.float32)
-        elevation = np.zeros(b, dtype=np.float32)
-        cand_point_id = np.zeros((b, k), dtype=np.int32)
-        cand_nbr_ix = np.full((b, k), -1, dtype=np.int32)
-        cand_heading = np.zeros((b, k), dtype=np.float32)
-        cand_elevation = np.zeros((b, k), dtype=np.float32)
-        cand_n = np.zeros(b, dtype=np.int32)
-        teacher = np.zeros(b, dtype=np.int32)
-        back_teacher = np.zeros(b, dtype=np.int32)
-        distance = np.zeros(b, dtype=np.float32)
-        progress = np.zeros(b, dtype=np.float32)
+        if self.native is not None:
+            dyn = self.native.fill_obs(k)
+        else:
+            dyn = self._python_fill_obs(b, k)
+        slots = np.arange(k)[None, :]
+        cand_mask = slots <= dyn["cand_n"][:, None]
+        obs = Obs(
+            instr=self._static["instr"],
+            pad_mask=self._static["pad_mask"],
+            seq_len=self._static["seq_len"],
+            cand_mask=cand_mask,
+            **dyn,
+        )
+        self._last_obs = obs
+        return obs
+
+    def _python_fill_obs(self, b: int, k: int) -> dict:
+        dyn = {
+            "feat_row": np.zeros(b, np.int32),
+            "view_index": np.zeros(b, np.int32),
+            "heading": np.zeros(b, np.float32),
+            "elevation": np.zeros(b, np.float32),
+            "cand_point_id": np.zeros((b, k), np.int32),
+            "cand_nbr_ix": np.full((b, k), -1, np.int32),
+            "cand_heading": np.zeros((b, k), np.float32),
+            "cand_elevation": np.zeros((b, k), np.float32),
+            "cand_n": np.zeros(b, np.int32),
+            "teacher": np.zeros(b, np.int32),
+            "back_teacher": np.zeros(b, np.int32),
+            "distance": np.zeros(b, np.float32),
+            "progress": np.zeros(b, np.float32),
+        }
+        from dasa_tpu.utils.angles import HEADING_COUNT, HEADING_INC
 
         for i, item in enumerate(self.batch):
             st = self.sim.states[i]
-            enc = item["instr_encoding"]
-            n_tok = min(len(enc), L)
-            instr[i, :n_tok] = enc[:n_tok]
-            nz = np.nonzero(np.asarray(enc) == 0)[0]
-            seq_len[i] = int(nz[0]) if len(nz) else len(enc)
             vp = st.graph.ids[st.ix]
-            feat_row[i] = self.feature_db.row(st.scan, vp)
-            view_index[i] = st.view_index
-            heading[i] = st.heading
-            elevation[i] = st.elevation
-
+            dyn["feat_row"][i] = self.feature_db.row(st.scan, vp)
+            dyn["view_index"][i] = st.view_index
+            dyn["heading"][i] = st.heading
+            dyn["elevation"][i] = st.elevation
             cands = self.sim.candidates(st.scan, st.ix)
             n = min(len(cands.nbr_ix), k - 1)  # keep a slot for STOP
-            cand_n[i] = n
+            dyn["cand_n"][i] = n
             base_heading = (st.view_index % HEADING_COUNT) * HEADING_INC
-            cand_point_id[i, :n] = cands.point_id[:n]
-            cand_nbr_ix[i, :n] = cands.nbr_ix[:n]
-            cand_heading[i, :n] = cands.normalized_heading[:n] - base_heading
-            cand_elevation[i, :n] = cands.elevation[:n]
-            teacher[i] = min(self._teacher_cand_idx(i, cands,
-                                                    int(self._goal_ix[i])), n)
-            back_teacher[i] = min(
-                self._teacher_cand_idx(i, cands, int(self._start_ix[i])), n)
-            distance[i] = st.graph.dist[st.ix, self._goal_ix[i]]
-            progress[i] = 1.0 - distance[i] / (self._total_dist[i] + 1e-10)
-
-        slots = np.arange(k)[None, :]
-        cand_mask = slots <= cand_n[:, None]  # real candidates + STOP slot
-        pad_mask = instr == 0
-        return Obs(
-            instr=instr, pad_mask=pad_mask, seq_len=seq_len,
-            feat_row=feat_row, view_index=view_index,
-            heading=heading, elevation=elevation,
-            cand_point_id=cand_point_id, cand_heading=cand_heading,
-            cand_elevation=cand_elevation, cand_n=cand_n,
-            cand_mask=cand_mask, cand_nbr_ix=cand_nbr_ix,
-            teacher=teacher, back_teacher=back_teacher,
-            distance=distance, progress=progress,
-        )
+            dyn["cand_point_id"][i, :n] = cands.point_id[:n]
+            dyn["cand_nbr_ix"][i, :n] = cands.nbr_ix[:n]
+            dyn["cand_heading"][i, :n] = (
+                cands.normalized_heading[:n] - base_heading)
+            dyn["cand_elevation"][i, :n] = cands.elevation[:n]
+            dyn["teacher"][i] = min(self._teacher_cand_idx(
+                i, cands, int(self._goal_ix[i])), n)
+            dyn["back_teacher"][i] = min(self._teacher_cand_idx(
+                i, cands, int(self._start_ix[i])), n)
+            dyn["distance"][i] = st.graph.dist[st.ix, self._goal_ix[i]]
+            dyn["progress"][i] = 1.0 - dyn["distance"][i] / (
+                self._total_dist[i] + 1e-10)
+        return dyn
 
     def get_statistics(self) -> dict:
         length = sum(len(d["instructions"].split()) for d in self.data)
         path = 0.0
         for d in self.data:
             g = self.graphs[d["scan"]]
+            if g.dist is None:
+                g.compute_shortest_paths()
             path += g.dist[g.id2ix[d["path"][0]], g.id2ix[d["path"][-1]]]
         n = max(1, len(self.data))
         return {"length": length / n, "path": path / n}

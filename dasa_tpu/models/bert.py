@@ -76,25 +76,35 @@ class BertEmbeddings(nn.Module):
     config: BertConfig
     dtype: Dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        cfg = self.config
+        self.word_embeddings = nn.Embed(cfg.vocab_size, cfg.hidden_size,
+                                        dtype=self.dtype)
+        self.position_embeddings = nn.Embed(
+            cfg.max_position_embeddings, cfg.hidden_size, dtype=self.dtype)
+        self.token_type_embeddings = nn.Embed(
+            cfg.type_vocab_size, cfg.hidden_size, dtype=self.dtype)
+        self.LayerNorm = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
+                                      dtype=self.dtype)
+        self.dropout = nn.Dropout(cfg.hidden_dropout_prob)
+
     def __call__(self, input_ids, token_type_ids=None, *,
                  deterministic: bool = True):
-        cfg = self.config
         seq_len = input_ids.shape[1]
         if token_type_ids is None:
             token_type_ids = jnp.zeros_like(input_ids)
         pos_ids = jnp.arange(seq_len)[None, :]
-        w = nn.Embed(cfg.vocab_size, cfg.hidden_size, dtype=self.dtype,
-                     name="word_embeddings")(input_ids)
-        p = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,
-                     dtype=self.dtype, name="position_embeddings")(pos_ids)
-        t = nn.Embed(cfg.type_vocab_size, cfg.hidden_size, dtype=self.dtype,
-                     name="token_type_embeddings")(token_type_ids)
-        x = w + p + t
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
-                         name="LayerNorm")(x)
-        return nn.Dropout(cfg.hidden_dropout_prob)(
-            x, deterministic=deterministic)
+        x = (self.word_embeddings(input_ids)
+             + self.position_embeddings(pos_ids)
+             + self.token_type_embeddings(token_type_ids))
+        x = self.LayerNorm(x)
+        return self.dropout(x, deterministic=deterministic)
+
+    def attend(self, x):
+        """Project hidden states onto the (tied) word-embedding matrix —
+        the reference's tie_weights MLM decoder
+        (r2rpretrain_class.py:124-125)."""
+        return self.word_embeddings.attend(x)
 
 
 class BertAttentionCore(nn.Module):

@@ -306,6 +306,29 @@ def compute_pano_candidates(graph: ScanGraph, ix: int,
     )
 
 
+def micro_trajectory(vp_id: str, src_view: int, trg_view: int,
+                     traj: list) -> None:
+    """Append the up/down/right micro-step visits between two discretized
+    views at the same viewpoint (make_equiv_action's rotation dance,
+    agent_dg.py:358-391) as (viewpointId, heading, elevation) tuples."""
+    src_level, trg_level = src_view // 12, trg_view // 12
+    cur = src_view
+    while src_level < trg_level:    # tune up
+        src_level += 1
+        cur += 12
+        traj.append((vp_id, (cur % 12) * HEADING_INC,
+                     (cur // 12 - 1) * ELEVATION_INC))
+    while src_level > trg_level:    # tune down
+        src_level -= 1
+        cur -= 12
+        traj.append((vp_id, (cur % 12) * HEADING_INC,
+                     (cur // 12 - 1) * ELEVATION_INC))
+    while cur != trg_view:          # turn right
+        cur = (cur // 12) * 12 + (cur + 1) % 12
+        traj.append((vp_id, (cur % 12) * HEADING_INC,
+                     (cur // 12 - 1) * ELEVATION_INC))
+
+
 class _EpisodeState:
     __slots__ = ("scan", "graph", "ix", "view_index", "step")
 
@@ -377,24 +400,8 @@ class BatchSim:
         trg_point = int(cands.point_id[cand_idx])
         src_point = st.view_index
         if traj is not None:
-            g = st.graph
-            vp = g.ids[st.ix]
-            src_level, trg_level = src_point // 12, trg_point // 12
-            cur = src_point
-            while src_level < trg_level:    # tune up
-                src_level += 1
-                cur += 12
-                traj.append((vp, (cur % 12) * HEADING_INC,
-                             (cur // 12 - 1) * ELEVATION_INC))
-            while src_level > trg_level:    # tune down
-                src_level -= 1
-                cur -= 12
-                traj.append((vp, (cur % 12) * HEADING_INC,
-                             (cur // 12 - 1) * ELEVATION_INC))
-            while cur != trg_point:         # turn right
-                cur = (cur // 12) * 12 + (cur + 1) % 12
-                traj.append((vp, (cur % 12) * HEADING_INC,
-                             (cur // 12 - 1) * ELEVATION_INC))
+            micro_trajectory(st.graph.ids[st.ix], src_point, trg_point,
+                             traj)
         st.ix = int(cands.nbr_ix[cand_idx])
         st.view_index = trg_point
         st.step += 1

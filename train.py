@@ -31,6 +31,10 @@ def main(argv=None):
         trainer.train_speaker(cfg)
     elif cfg.train == "validspeaker":
         trainer.valid_speaker(cfg)
+    elif cfg.train == "pretrain":
+        from dasa_tpu.pretrain.trainer import run_pretrain
+
+        run_pretrain(cfg)
     else:
         sys.exit(f"unknown --train mode: {cfg.train}")
 
