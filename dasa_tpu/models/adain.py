@@ -55,12 +55,25 @@ class DGAdaChannel(nn.Module):
     ab_type: str = "ab"          # ab | a | b
     a_type: Optional[str] = None  # sigmoid | gumbel_sigmoid | None
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, f_t, d_t, *, is_test: bool = True,
                  gumbel_rng: Optional[jax.Array] = None):
         f_t = f_t.astype(self.dtype)
         d_t = d_t.astype(self.dtype)
+        if (self.use_pallas and self.ab_type == "a"
+                and self.a_type == "sigmoid"):
+            # fused Pallas path for the published config (param names
+            # match nn.Dense for checkpoint interchange)
+            from dasa_tpu.ops.adain import adain_channel_gate
+
+            kernel = self.param(
+                "a_fc/kernel", nn.initializers.lecun_normal(),
+                (self.channel, self.channel))
+            bias = self.param("a_fc/bias", nn.initializers.zeros,
+                              (self.channel,))
+            return adain_channel_gate(f_t, d_t, kernel, bias, None)
         a = jnp.ones((), self.dtype)
         b = jnp.zeros((), self.dtype)
         if self.ab_type in ("ab", "a"):
@@ -152,10 +165,11 @@ class DGAdaStatChannel(nn.Module):
 
 
 def make_adain(adain_type: str, channel: int, ab_type: str, a_type,
-               dtype=jnp.float32) -> Optional[nn.Module]:
+               dtype=jnp.float32, use_pallas: bool = False
+               ) -> Optional[nn.Module]:
     """Module factory mirroring agent init (agent_dg.py:196-209)."""
     if adain_type in ("channel", "rgb_channel"):
-        return DGAdaChannel(channel, ab_type, a_type, dtype)
+        return DGAdaChannel(channel, ab_type, a_type, dtype, use_pallas)
     if adain_type == "coco_channel":
         return DGAdaCOCOChannel(channel, ab_type, a_type, dtype=dtype)
     if adain_type in ("meanchannel", "rgb_meanchannel"):

@@ -74,6 +74,7 @@ class BAttnDecoderLSTM(nn.Module):
     pred_back: bool = False
     back_input: str = "pre"     # pre | cur
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     def setup(self):
         self.embedding = nn.Dense(self.embedding_size, dtype=self.dtype)
@@ -82,7 +83,7 @@ class BAttnDecoderLSTM(nn.Module):
         if self.use_shift:
             self.feat_att_layer = ShiftSoftDotAttention(
                 self.hidden_size, self.feature_size, self.shift_kernel_size,
-                self.dtype)
+                self.dtype, self.use_pallas)
         else:
             self.feat_att_layer = SoftDotAttention(
                 self.hidden_size, self.feature_size, self.dtype)

@@ -167,6 +167,7 @@ class ShiftSoftDotAttention(nn.Module):
     ctx_dim: int
     kernel_size: int = 3
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, h, context, mask=None, output_tilde: bool = True,
@@ -174,6 +175,28 @@ class ShiftSoftDotAttention(nn.Module):
         h = h.astype(self.dtype)
         context = context.astype(self.dtype)
         batch = h.shape[0]
+        if self.use_pallas and mask is None:
+            from dasa_tpu.ops.shift_attention import shift_attend
+
+            w_in = self.param("linear_in/kernel",
+                              nn.initializers.lecun_normal(),
+                              (h.shape[-1], self.ctx_dim))
+            w_s = self.param("linear_shift/kernel",
+                             nn.initializers.lecun_normal(),
+                             (h.shape[-1], self.kernel_size))
+            b_s = self.param("linear_shift/bias", nn.initializers.zeros,
+                             (self.kernel_size,))
+            weighted, logit = shift_attend(h, context, w_in, w_s, b_s)
+            attn_out = (jax.nn.softmax(logit, axis=-1) if output_prob
+                        else logit)
+            if output_tilde:
+                h_tilde = jnp.tanh(
+                    nn.Dense(self.dim, use_bias=False, dtype=self.dtype,
+                             name="linear_out")(
+                        jnp.concatenate(
+                            [weighted.astype(self.dtype), h], axis=-1)))
+                return h_tilde, attn_out
+            return weighted.astype(self.dtype), attn_out
         target = nn.Dense(self.ctx_dim, use_bias=False, dtype=self.dtype,
                           name="linear_in")(h)
         logit = jnp.einsum("btc,bc->bt", context, target)

@@ -64,6 +64,10 @@ class DasaPolicy(nn.Module):
     def setup(self):
         cfg = self.cfg
         feature_all = cfg.feature_all_size
+        use_pallas = cfg.use_pallas == "always" or (
+            cfg.use_pallas == "auto"
+            and jax.default_backend() == "tpu")
+        self._use_pallas = use_pallas
         if cfg.encoder_type == "EncoderLSTM":
             enc_hidden = cfg.rnn_dim // 2 if cfg.bidir else cfg.rnn_dim
             self.encoder = EncoderLSTM(
@@ -91,11 +95,12 @@ class DasaPolicy(nn.Module):
                 use_shift=cfg.use_shift,
                 shift_kernel_size=cfg.shift_kernel_size,
                 pred_back=cfg.pred_back, back_input=cfg.back_input,
-                dtype=self.dtype)
+                dtype=self.dtype, use_pallas=use_pallas)
             dec_hidden = cfg.d_hidden_size
         self.critic = Critic(cfg.critic_dim, cfg.dropout, self.dtype)
         self.adain = make_adain(cfg.adain_type, cfg.feature_size,
-                                cfg.ab_type, cfg.a_type, self.dtype)
+                                cfg.ab_type, cfg.a_type, self.dtype,
+                                use_pallas=use_pallas)
         self._dec_hidden = dec_hidden
 
     # ---- episode-level ----
