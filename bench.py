@@ -18,6 +18,12 @@ import os
 import sys
 import time
 
+# persistent compile cache: repeated bench runs skip the multi-minute
+# first-compile of the scanned replay programs
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+
 REF_AGENT_STEPS_PER_SEC = 135.0  # BENCH_NOTES.md
 
 CONNECTIVITY = "/root/reference/connectivity"

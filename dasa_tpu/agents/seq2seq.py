@@ -420,8 +420,9 @@ class Seq2SeqAgent:
         instr = jnp.asarray(obs.instr)
         valid = jnp.asarray(~obs.pad_mask)
         seq_len = jnp.asarray(obs.seq_len)
-        cached = self._encode_fn(training)(
-            self.params, instr, valid, seq_len, base_rng)
+        cached = (None if feedback == "teacher" else
+                  self._encode_fn(training)(
+                      self.params, instr, valid, seq_len, base_rng))
 
         trajs = [[t] for t in env.state_tuples()]
         instr_ids = env.instr_ids()
@@ -436,7 +437,12 @@ class Seq2SeqAgent:
             h=jnp.zeros((batch_size, dec_h), self.dtype),
             c=jnp.zeros((batch_size, dec_h), self.dtype),
             h1=jnp.zeros((batch_size, dec_h), self.dtype))
-        act = self._act_fn(feedback, training, use_noise)
+        # teacher-forced rollouts are fully determined by the env's
+        # shortest-path teacher: the policy forward only matters in the
+        # replay, so the act loop needs zero device round-trips
+        teacher_only = feedback == "teacher"
+        act = (None if teacher_only
+               else self._act_fn(feedback, training, use_noise))
 
         records: List[dict] = []
         rewards: List[np.ndarray] = []
@@ -452,11 +458,14 @@ class Seq2SeqAgent:
                     visited_mask[i] = np.isin(
                         obs.cand_nbr_ix[i], list(visited[i]))
             sobs = self._to_sobs(obs, ended, visited_mask, t == 0)
-            sobs_dev = {k: jnp.asarray(v) for k, v in sobs.items()}
-            state, action = act(self.params, self.tables, cached, valid,
-                                seq_len, state, sobs_dev, t, base_rng,
-                                env_noise)
-            a = np.asarray(action)
+            if teacher_only:
+                a = sobs["teacher"]
+            else:
+                sobs_dev = {k: jnp.asarray(v) for k, v in sobs.items()}
+                state, action = act(self.params, self.tables, cached,
+                                    valid, seq_len, state, sobs_dev, t,
+                                    base_rng, env_noise)
+                a = np.asarray(action)
             # STOP (slot == cand_n) or already ended -> -1 env action
             a_env = np.where((a >= obs.cand_n) | ended, -1, a)
             sobs["action"] = np.where(a > obs.cand_n, obs.cand_n,
