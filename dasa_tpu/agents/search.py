@@ -1,0 +1,277 @@
+"""Dijkstra ("beam") search inference with speaker rescoring.
+
+Reference: agent_dg.py:1038-1325 (_dijkstra / beam_search) and
+train.py:424-517 (beam_valid).  The search expands, per episode, the
+highest-score (sum of action log-probs) unvisited state; one batched
+jitted decode step scores all episodes' frontier states at once.  Paths
+keep *index* records (feat_row / view / chosen candidate geometry), and
+speaker rescoring gathers features on device — no host-side feature
+blocks.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dasa_tpu.agents.seq2seq import Seq2SeqAgent, make_step_inputs
+from dasa_tpu.models import DasaPolicy, DecoderState
+from dasa_tpu.models.layers import NEG_INF
+from dasa_tpu.utils.angles import ELEVATION_INC, HEADING_COUNT, HEADING_INC
+
+START_ACTION = -95  # sentinel of the root state (agent_dg.py:1096)
+STOP_ACTION = -1
+
+
+def _view_pose(view_index: int) -> Tuple[float, float]:
+    return ((view_index % HEADING_COUNT) * HEADING_INC,
+            (view_index // HEADING_COUNT - 1) * ELEVATION_INC)
+
+
+def _search_fn(agent: Seq2SeqAgent):
+    if "search" not in agent._jit_cache:
+        cfg = agent.cfg
+        policy = agent.policy
+
+        @jax.jit
+        def run(params, tables, cached, valid, seq_len, state, sobs):
+            inputs = make_step_inputs(cfg, tables, sobs)
+            new_state, logit, _value, _aux = policy.apply(
+                params, cached, valid, seq_len, inputs, state,
+                sobs["is_first"], deterministic=True, is_test=True,
+                method=DasaPolicy.policy_step)
+            masked = jnp.where(sobs["logit_mask"], NEG_INF,
+                               logit.astype(jnp.float32))
+            return new_state, jax.nn.log_softmax(masked, axis=-1)
+
+        agent._jit_cache["search"] = run
+    return agent._jit_cache["search"]
+
+
+def dijkstra_search(agent: Seq2SeqAgent, n_candidates: int = 1,
+                    max_expansions: int = 300) -> List[dict]:
+    """Exact top-K min-neg-log-prob paths per episode."""
+    env = agent.env
+    cfg = agent.cfg
+    obs = env.reset()
+    batch = obs.batch_size()
+    step_fn = _search_fn(agent)
+
+    instr = jnp.asarray(obs.instr)
+    valid = jnp.asarray(~obs.pad_mask)
+    seq_len = jnp.asarray(obs.seq_len)
+    base_rng = jax.random.fold_in(agent._base_rng, agent._rollout_counter)
+    agent._rollout_counter += 1
+    cached = agent._encode_fn(False)(agent.params, instr, valid, seq_len,
+                                     base_rng)
+
+    start_vps = env.current_viewpoints()
+    results = [{
+        "scan": env.batch[i]["scan"],
+        "instr_id": env.batch[i]["instr_id"],
+        "instr_encoding": np.asarray(obs.instr[i]),
+        "dijk_path": [start_vps[i]],
+        "paths": [],
+    } for i in range(batch)]
+
+    dec_h = (cfg.d_hidden_size if cfg.encoder_type != "EncoderLSTM"
+             else cfg.rnn_dim)
+    zero_state = (np.zeros(dec_h, np.float32),) * 3
+
+    def sid(viewpoint, action):
+        return f"{viewpoint}_{action}"
+
+    id2state: List[Dict[str, dict]] = [{
+        sid(start_vps[i], START_ACTION): {
+            "next_viewpoint": start_vps[i],
+            "view_index": int(obs.view_index[i]),
+            "running_state": zero_state,
+            "is_first": True,
+            "from": None,
+            "score": 0.0,
+            "scores": [],
+            "actions": [],
+            "record": None,
+        }} for i in range(batch)]
+    visited = [set() for _ in range(batch)]
+    finished = [set() for _ in range(batch)]
+    ended = np.zeros(batch, bool)
+
+    for _ in range(max_expansions):
+        frontier = []
+        for i in range(batch):
+            if ended[i]:
+                frontier.append(next(iter(id2state[i].items())))
+                continue
+            best = max(
+                ((k, s) for k, s in id2state[i].items()
+                 if k not in visited[i]),
+                key=lambda kv: kv[1]["score"])
+            frontier.append(best)
+            state_id = best[0]
+            visited[i].add(state_id)
+            action = int(state_id.rsplit("_", 1)[1])
+            if action == STOP_ACTION:
+                finished[i].add(state_id)
+                if len(finished[i]) >= n_candidates:
+                    ended[i] = True
+
+        # teleport envs to the frontier states and refresh obs
+        for i, (state_id, st) in enumerate(frontier):
+            obs = env.teleport(i, st["next_viewpoint"], st["view_index"])
+
+        # one batched decode step over the frontier
+        h = jnp.asarray(np.stack([f[1]["running_state"][0]
+                                  for f in frontier]), agent.dtype)
+        c = jnp.asarray(np.stack([f[1]["running_state"][1]
+                                  for f in frontier]), agent.dtype)
+        h1 = jnp.asarray(np.stack([f[1]["running_state"][2]
+                                   for f in frontier]), agent.dtype)
+        state = DecoderState(h, c, h1)
+        sobs = agent._to_sobs(obs, np.zeros(batch, bool), None, False)
+        sobs["is_first"] = np.array([f[1]["is_first"] for f in frontier])
+        sobs_dev = {k: jnp.asarray(v) for k, v in sobs.items()}
+        new_state, log_probs = step_fn(agent.params, agent.tables, cached,
+                                       valid, seq_len, state, sobs_dev)
+        log_probs = np.asarray(log_probs)
+        new_h = np.asarray(new_state.h, np.float32)
+        new_c = np.asarray(new_state.c, np.float32)
+        new_h1 = np.asarray(new_state.h1, np.float32)
+
+        for i in range(batch):
+            state_id, cur = frontier[i]
+            from_action = int(state_id.rsplit("_", 1)[1])
+            if from_action == STOP_ACTION or ended[i]:
+                continue
+            vp = env.current_viewpoints()[i]
+            # extend the exploration path (reference stitches via an
+            # incremental Floyd graph; our full shortest paths give the
+            # same-or-shorter connectors)
+            g = env.graphs[results[i]["scan"]]
+            last = results[i]["dijk_path"][-1]
+            if last != vp:
+                hop = g.shortest_path(g.id2ix[last], g.id2ix[vp])
+                results[i]["dijk_path"].extend(
+                    g.ids[n] for n in hop[1:])
+            n = int(obs.cand_n[i])
+            run_state = (new_h[i], new_c[i], new_h1[i])
+            for j in range(n + 1):
+                lp = float(log_probs[i, j])
+                new_score = cur["score"] + lp
+                if j < n:
+                    nxt_vp = g.ids[int(obs.cand_nbr_ix[i, j])]
+                    next_id = sid(vp, j)
+                    view = int(obs.cand_point_id[i, j])
+                else:
+                    nxt_vp = vp
+                    next_id = sid(vp, STOP_ACTION)
+                    view = int(obs.view_index[i])
+                old = id2state[i].get(next_id)
+                if old is None or new_score > old["score"]:
+                    id2state[i][next_id] = {
+                        "next_viewpoint": nxt_vp,
+                        "view_index": view,
+                        "running_state": run_state,
+                        "is_first": False,
+                        "from": state_id,
+                        "score": new_score,
+                        "scores": cur["scores"] + [lp],
+                        "actions": cur["actions"] + [n + 1],
+                        "record": {
+                            "feat_row": int(obs.feat_row[i]),
+                            "view_index": int(obs.view_index[i]),
+                            "cand_point_id": int(obs.cand_point_id[i, j])
+                            if j < n else 0,
+                            "cand_heading": float(obs.cand_heading[i, j])
+                            if j < n else 0.0,
+                            "cand_elevation": float(
+                                obs.cand_elevation[i, j]) if j < n
+                            else 0.0,
+                            "has_cand": j < n,
+                        },
+                    }
+            if len(visited[i]) == len(id2state[i]):
+                ended[i] = True
+        if ended.all():
+            break
+
+    # walk back from start: close the exploration loop
+    for i in range(batch):
+        g = env.graphs[results[i]["scan"]]
+        last = results[i]["dijk_path"][-1]
+        first = results[i]["dijk_path"][0]
+        if last != first:
+            hop = g.shortest_path(g.id2ix[last], g.id2ix[first])
+            results[i]["dijk_path"].extend(g.ids[n] for n in hop[1:])
+
+    # extract finished paths via the from-chains
+    for i, result in enumerate(results):
+        for state_id in finished[i]:
+            path = {"trajectory": [], "action": [], "records": [],
+                    "listener_scores": id2state[i][state_id]["scores"],
+                    "listener_actions": id2state[i][state_id]["actions"]}
+            cur_id = state_id
+            while True:
+                st = id2state[i][cur_id]
+                h_e = _view_pose(st["view_index"])
+                path["trajectory"].append(
+                    (st["next_viewpoint"], h_e[0], h_e[1]))
+                action = int(cur_id.rsplit("_", 1)[1])
+                if action == START_ACTION:
+                    break
+                path["action"].append(action)
+                path["records"].append(st["record"])
+                cur_id = st["from"]
+            for key in ("trajectory", "action", "records"):
+                path[key] = path[key][::-1]
+            result["paths"].append(path)
+    return results
+
+
+def beam_search(agent: Seq2SeqAgent, speaker,
+                n_candidates: int = 1) -> List[dict]:
+    """Dijkstra search + speaker rescoring (agent_dg.py:1251-1310)."""
+    results = dijkstra_search(agent, n_candidates)
+    for result in results:
+        for path in result["paths"]:
+            recs = path.pop("records")
+            if not recs:
+                path["speaker_scores"] = np.zeros(0, np.float32)
+                continue
+            stacked = {
+                k: np.asarray([r[k] for r in recs])[None]
+                for k in recs[0]
+            }
+            inst = np.asarray(result["instr_encoding"])[None]
+            scores = speaker.score_instruction(stacked, inst)
+            path["speaker_scores"] = -scores[0]
+    return results
+
+
+def beam_search_test(agent: Seq2SeqAgent, speaker,
+                     n_candidates: int = 1) -> Dict[str, dict]:
+    """Search every item once (agent_dg.py:1312-1325)."""
+    agent.results = {}
+    env = agent.env
+    env.reset_epoch()
+    for _ in range(env.size() // env.batch_size + 2):
+        for traj in beam_search(agent, speaker, n_candidates):
+            agent.results.setdefault(traj["instr_id"], traj)
+        if len(agent.results) >= env.size():
+            break
+    return agent.results
+
+
+def cal_score(path: dict, alpha: float, avg_speaker: bool,
+              avg_listener: bool) -> float:
+    """Score mixing (train.py:442-451)."""
+    sp = float(np.sum(path["speaker_scores"])) * alpha
+    if avg_speaker and len(path["speaker_scores"]):
+        sp /= len(path["speaker_scores"])
+    li = float(np.sum(path["listener_scores"])) * (1 - alpha)
+    if avg_listener and len(path["listener_scores"]):
+        li /= len(path["listener_scores"])
+    return sp + li

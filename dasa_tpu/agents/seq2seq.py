@@ -239,7 +239,11 @@ class Seq2SeqAgent:
                     c=jnp.zeros((batch, dec_h), self.dtype),
                     h1=jnp.zeros((batch, dec_h), self.dtype))
 
+                @jax.checkpoint
                 def step(carry, xs):
+                    # remat: recompute the step forward during backward
+                    # instead of keeping 35 steps of BERT activations
+                    # resident (HBM is the constraint, FLOPs are not)
                     state, t = carry
                     sobs = xs
                     inputs = make_step_inputs(cfg, tables, sobs)
@@ -499,10 +503,13 @@ class Seq2SeqAgent:
             self.results[iid] = {"instr_id": iid, "trajectory": tr}
 
         if training:
-            # bucket T to multiples of 8 so the scanned replay compiles a
-            # handful of variants instead of one per episode length;
-            # padded steps are inert (active=False, rl_mask=0, reward=0)
-            n_steps = min(self.episode_len, -(-len(records) // 8) * 8)
+            # pad every training replay to the full episode length: ONE
+            # compiled program per feedback mode (a new length bucket
+            # costs minutes of XLA compilation, far more than the padded
+            # steps' FLOPs).  Padded steps are inert (active=False,
+            # rl_mask=0, reward=0) and only exist when all episodes have
+            # ended, so the A2C bootstrap through them is exactly zero.
+            n_steps = self.episode_len
             while len(records) < n_steps:
                 pad = {k: v.copy() for k, v in records[-1].items()}
                 pad["active"] = np.zeros_like(pad["active"])

@@ -365,6 +365,42 @@ class SpeakerAgent:
         metrics /= n
         return (path2inst, *metrics)
 
+    def score_instruction(self, rec: dict, insts: np.ndarray
+                          ) -> np.ndarray:
+        """Per-word CE of instructions given trajectory index records —
+        the speaker side of beam rescoring (speaker.py teacher_forcing
+        with for_listener=True, speaker.py:249-253).  rec fields are
+        (B, T) stacks like collect_teacher_path's; returns (B, L-1)
+        losses (PAD positions zeroed)."""
+        img, can = self._gather_traj_feats(rec)
+        t = rec["feat_row"].shape[1]
+        lengths = rec["has_cand"].sum(1)
+        ctx_mask = jnp.asarray(np.arange(t)[None, :] >= lengths[:, None])
+        key = ("score", t, insts.shape[1])
+        if key not in self._jit:
+            model = self.model
+
+            @jax.jit
+            def run(params, img, can, insts, ctx_mask):
+                ctx = model.apply(params, can, img, deterministic=True,
+                                  method=SpeakerModel.encode)
+                b = can.shape[0]
+                h0 = jnp.zeros((b, self.cfg.rnn_dim), self.dtype)
+                logits = model.apply(params, insts, ctx, ctx_mask, h0, h0,
+                                     deterministic=True,
+                                     method=SpeakerModel.decode)
+                logp = jax.nn.log_softmax(
+                    logits[:, :-1].astype(jnp.float32), axis=-1)
+                tgt = insts[:, 1:]
+                ce = -jnp.take_along_axis(logp, tgt[..., None],
+                                          axis=-1)[..., 0]
+                return jnp.where(tgt != PAD_IDX, ce, 0.0)
+
+            self._jit[key] = run
+        return np.asarray(self._jit[key](
+            self.params, img, can, jnp.asarray(insts.astype(np.int32)),
+            ctx_mask))
+
     def relabel_batch(self, env: R2REnv, env_noise, base_rng):
         """Back-translation for the listener's selfTrain path
         (agent_dg.py:656-675): generate instructions for the current

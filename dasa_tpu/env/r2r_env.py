@@ -230,6 +230,20 @@ class R2REnv:
             self.sim.step_candidate(i, a, None if trajs is None else trajs[i])
         return self._get_obs()
 
+    def teleport(self, i: int, viewpoint: str, view_index: int) -> Obs:
+        """Move episode i to an arbitrary viewpoint/view (search
+        expansion; the reference re-news episodes mid-search,
+        agent_dg.py:1135-1140).  Returns refreshed obs."""
+        scan = self.batch[i]["scan"]
+        node = self.graphs[scan].id2ix[viewpoint]
+        if self.native is not None:
+            self.native.teleport(i, node, int(view_index))
+        else:
+            st = self.sim.states[i]
+            st.ix = node
+            st.view_index = int(view_index)
+        return self._get_obs()
+
     # -- state access for the agent/evaluator --
     def state_tuples(self) -> List[Tuple[str, float, float]]:
         """(viewpointId, heading, elevation) per episode — the trajectory

@@ -64,9 +64,10 @@ class DasaPolicy(nn.Module):
     def setup(self):
         cfg = self.cfg
         feature_all = cfg.feature_all_size
-        use_pallas = cfg.use_pallas == "always" or (
-            cfg.use_pallas == "auto"
-            and jax.default_backend() == "tpu")
+        # measured on v5e: XLA's fusion already runs these small
+        # bandwidth-bound ops at full HBM speed, so the Pallas paths are
+        # opt-in ("always") rather than auto-enabled
+        use_pallas = cfg.use_pallas == "always"
         self._use_pallas = use_pallas
         if cfg.encoder_type == "EncoderLSTM":
             enc_hidden = cfg.rnn_dim // 2 if cfg.bidir else cfg.rnn_dim

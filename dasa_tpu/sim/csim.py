@@ -73,6 +73,8 @@ def load_library() -> Optional[C.CDLL]:
         lib.dasasim_reset.argtypes = [C.c_void_p, C.c_int, i32p, i32p,
                                       i32p, i32p, f64p]
         lib.dasasim_step.argtypes = [C.c_void_p, C.c_int, i32p]
+        lib.dasasim_teleport.argtypes = [C.c_void_p, C.c_int, C.c_int,
+                                         C.c_int]
         lib.dasasim_get_state.argtypes = [C.c_void_p, C.c_int, i32p, i32p,
                                           i32p, i32p]
         lib.dasasim_fill_obs.argtypes = [
@@ -172,6 +174,9 @@ class NativeEngine:
     def step(self, actions: np.ndarray) -> None:
         self.lib.dasasim_step(self.handle, self._batch,
                               np.ascontiguousarray(actions, np.int32))
+
+    def teleport(self, i: int, node: int, view: int) -> None:
+        self.lib.dasasim_teleport(self.handle, i, node, view)
 
     def get_state(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
                                  np.ndarray]:

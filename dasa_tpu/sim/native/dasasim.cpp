@@ -487,6 +487,14 @@ void dasasim_step(void* h, int batch, const int32_t* actions) {
   }
 }
 
+// Teleport episode i to an arbitrary node/view (search expansion:
+// the reference re-news episodes mid-search, agent_dg.py:1135-1140).
+void dasasim_teleport(void* h, int i, int node, int view) {
+  auto* e = static_cast<Engine*>(h);
+  e->eps[i].node = node;
+  e->eps[i].view = view;
+}
+
 void dasasim_get_state(void* h, int batch, int32_t* scan, int32_t* node,
                        int32_t* view, int32_t* step) {
   auto* e = static_cast<Engine*>(h);

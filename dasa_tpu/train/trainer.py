@@ -197,6 +197,77 @@ def train(cfg: Config, world: Optional[World] = None,
     return agent
 
 
+def beam_valid(cfg: Config, world: Optional[World] = None
+               ) -> Dict[str, dict]:
+    """Dijkstra-search validation with speaker/listener score mixing and
+    optional alpha param search (train.py:424-517)."""
+    from dasa_tpu.agents.search import beam_search_test, cal_score
+    from dasa_tpu.agents.speaker import SpeakerAgent
+
+    world = world or World(cfg)
+    agent = make_agent(cfg, world)
+    speaker = SpeakerAgent(cfg, world.envs["train"], world.feature_db,
+                           vocab_size=len(world.tok), tok=world.tok)
+    if cfg.speaker is not None:
+        speaker.load(cfg.speaker)
+    if cfg.load is not None:
+        print("Loaded listener at iter %d" % agent.load(cfg.load))
+
+    out = {}
+    for env_name, env in world.envs.items():
+        if env_name in ("train", "aug"):
+            continue
+        agent.env = env
+        speaker.env = env
+        results = beam_search_test(agent, speaker, cfg.candidates)
+        evaluator = world.evaluators[env_name]
+
+        def pick(alpha, avg_speaker, avg_listener):
+            picked = []
+            for key, res in results.items():
+                best = max(res["paths"],
+                           key=lambda p: cal_score(p, alpha, avg_speaker,
+                                                   avg_listener))
+                picked.append({
+                    "instr_id": key,
+                    "trajectory": [(vp, 0, 0) for vp in res["dijk_path"]]
+                    + best["trajectory"],
+                })
+            return picked
+
+        if cfg.param_search:
+            logs = []
+            for avg_speaker in (False, True):
+                for avg_listener in (False, True):
+                    for alpha in np.arange(0.0, 1.0001, 0.05):
+                        summary, _ = evaluator.score(
+                            pick(alpha, avg_speaker, avg_listener),
+                            allow_partial=True)
+                        logs.append((avg_speaker, avg_listener,
+                                     float(alpha),
+                                     summary["success_rate"]))
+            best = max(logs, key=lambda x: x[3])
+            print(f"{env_name}: best avg_speaker={best[0]} "
+                  f"avg_listener={best[1]} alpha={best[2]:.2f} "
+                  f"SR={best[3]:.4f}", flush=True)
+            out[env_name] = {"best": best, "logs": logs}
+        else:
+            picked = pick(cfg.alpha, True, True)
+            summary, _ = evaluator.score(picked, allow_partial=True)
+            print("Env name: %s, %s" % (env_name, ", ".join(
+                "%s: %.4f" % (m, v) for m, v in summary.items())),
+                flush=True)
+            out[env_name] = summary
+            if cfg.submit:
+                os.makedirs(os.path.join(cfg.log_dir, cfg.name),
+                            exist_ok=True)
+                with open(os.path.join(cfg.log_dir, cfg.name,
+                                       f"submit_{env_name}.json"),
+                          "w") as f:
+                    json.dump(picked, f, sort_keys=True, indent=2)
+    return out
+
+
 def train_speaker(cfg: Config, world: Optional[World] = None):
     """Speaker training with best-BLEU/loss checkpoints
     (train.py:110-155)."""
