@@ -161,6 +161,10 @@ class Config:
     # Contextualized view (param.py:195)
     ctx_v: bool = False
 
+    # NDH / CVDN (reference: r2r_src/ndhtrain.py:374-434)
+    path_type: str = "trusted_path"  # planner_path | player_path | trusted_path
+    history: str = "all"             # none|target|oracle_ans|nav_q_oracle_ans|all
+
     # ---- dasa_tpu-specific ----
     seed: int = 10
     views: int = 36                # panorama views (12 headings x 3 elevations)

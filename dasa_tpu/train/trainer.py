@@ -29,13 +29,19 @@ from dasa_tpu.utils.misc import set_seed
 
 
 class World:
-    """Shared data context: tokenizer, feature stores, envs, evaluators."""
+    """Shared data context: tokenizer, feature stores, envs, evaluators.
+
+    `ndh=True` reads CVDN-format NDH_{split}.json dialogs and converts
+    them to the R2R schema via dasa_tpu.data.ndh (path_type/history from
+    the config) — the whole listener stack then runs unchanged
+    (reference: ndhtrain.py)."""
 
     def __init__(self, cfg: Config, splits=("train",),
-                 val_splits=("val_seen", "val_unseen")):
+                 val_splits=("val_seen", "val_unseen"), ndh: bool = False):
         self.cfg = cfg
+        self.ndh = ndh
         set_seed(cfg.seed)
-        train_raw = load_datasets(["train"], cfg.data_dir)
+        train_raw = self._load("train")
         vocab_path = cfg.vocab_path or os.path.join(
             cfg.data_dir, "train_vocab.txt")
         if os.path.exists(vocab_path):
@@ -49,8 +55,8 @@ class World:
 
         scans = sorted({d["scan"] for split in set(
             list(splits) + list(val_splits) + (["aug"] if cfg.aug else []))
-            for d in load_datasets([split if split != "aug" else cfg.aug],
-                                   cfg.data_dir)})
+            for d in (load_datasets([cfg.aug], cfg.data_dir)
+                      if split == "aug" else self._load(split))})
         self.feature_db = load_feature_db(
             cfg.img_features_path, scans, cfg.connectivity_dir,
             dim=cfg.feature_size)
@@ -69,6 +75,20 @@ class World:
             items = expand_instructions(raw, self.tok, cfg.max_input)
             self.envs["aug"] = self._make_env(items, "aug")
 
+    def _load(self, split):
+        if not self.ndh:
+            return load_datasets([split], self.cfg.data_dir)
+        import json as _json
+        import os as _os
+
+        from dasa_tpu.data.ndh import convert_ndh_items
+
+        path = _os.path.join(self.cfg.data_dir, f"NDH_{split}.json")
+        with open(path) as f:
+            raw = _json.load(f)
+        return convert_ndh_items(raw, self.cfg.path_type,
+                                 self.cfg.history)
+
     def _make_env(self, items, name):
         cfg = self.cfg
         return R2REnv(self.feature_db, items, batch_size=cfg.batch_size,
@@ -78,7 +98,7 @@ class World:
                       max_input=cfg.max_input, depth_db=self.depth_db)
 
     def _add_env(self, split):
-        raw = load_datasets([split], self.cfg.data_dir)
+        raw = self._load(split)
         items = expand_instructions(raw, self.tok, self.cfg.max_input)
         self.envs[split] = self._make_env(items, split)
         self.evaluators[split] = Evaluation(

@@ -35,6 +35,14 @@ def main(argv=None):
         from dasa_tpu.pretrain.trainer import run_pretrain
 
         run_pretrain(cfg)
+    elif cfg.train == "beamvalid":
+        trainer.beam_valid(cfg)
+    elif cfg.train in ("ndh", "ndhlistener"):
+        world = trainer.World(cfg, ndh=True)
+        trainer.train(cfg, world=world)
+    elif cfg.train == "validndh":
+        world = trainer.World(cfg, ndh=True)
+        trainer.valid(cfg, world=world)
     else:
         sys.exit(f"unknown --train mode: {cfg.train}")
 
