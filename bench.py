@@ -85,8 +85,9 @@ def main():
         agent.accumulate_gradient("sample")
         agent.optim_step()
 
-    # warmup: compile act/replay/update programs
+    # warmup: compile every replay bucket + act/update programs
     t0 = time.time()
+    agent.precompile_replay(cfg.batch_size)
     one_iter()
     warm = time.time() - t0
 

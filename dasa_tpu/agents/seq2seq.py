@@ -368,6 +368,57 @@ class Seq2SeqAgent:
             self._jit_cache["apply"] = run
         return self._jit_cache["apply"]
 
+    def precompile_replay(self, batch_size: int,
+                          feedbacks=("teacher", "sample"),
+                          buckets=None) -> None:
+        """Trace+compile every replay-grad variant up front (one-time;
+        the persistent compile cache makes later processes instant).
+        Without this, a new episode-length bucket pays minutes of XLA
+        compilation in the middle of training."""
+        cfg = self.cfg
+        if buckets is None:
+            buckets = sorted({min(self.episode_len, t)
+                              for t in range(8, self.episode_len + 8, 8)})
+        use_noise = cfg.consistent_drop or cfg.self_train
+        b, k, L = batch_size, cfg.max_candidates, cfg.max_input
+        instr = jnp.ones((b, L), jnp.int32)
+        valid = jnp.ones((b, L), bool)
+        seq_len = jnp.full((b,), L, jnp.int32)
+        env_noise = self._noise_fn()(self._base_rng)
+
+        def dummy_sobs(t_steps=None):
+            shape = (b,) if t_steps is None else (t_steps, b)
+            kshape = shape + (k,)
+            return {
+                "feat_row": jnp.zeros(shape, jnp.int32),
+                "view_index": jnp.zeros(shape, jnp.int32),
+                "heading": jnp.zeros(shape, jnp.float32),
+                "elevation": jnp.zeros(shape, jnp.float32),
+                "cand_point_id": jnp.zeros(kshape, jnp.int32),
+                "cand_heading": jnp.zeros(kshape, jnp.float32),
+                "cand_elevation": jnp.zeros(kshape, jnp.float32),
+                "cand_n": jnp.ones(shape, jnp.int32),
+                "teacher": jnp.zeros(shape, jnp.int32),
+                "back_teacher": jnp.zeros(shape, jnp.int32),
+                "logit_mask": jnp.zeros(kshape, bool),
+                "active": jnp.ones(shape, bool),
+                "is_first": jnp.zeros(shape, bool),
+                "action": jnp.zeros(shape, jnp.int32),
+            }
+
+        for feedback in feedbacks:
+            train_rl = feedback == "sample"
+            for t in buckets:
+                fn = self._grad_fn(feedback, train_rl, use_noise, t)
+                grads, logs = fn(
+                    self.params, self.tables, instr, valid, seq_len,
+                    dummy_sobs(t), dummy_sobs(),
+                    jnp.zeros((t, b), jnp.float32),
+                    jnp.zeros((t, b), jnp.float32),
+                    jnp.ones((b,), bool), self._base_rng, env_noise,
+                    jnp.asarray(0.0, jnp.float32))
+                jax.block_until_ready(logs["loss"])
+
     # ------------------------------------------------------------------
     # rollout
     # ------------------------------------------------------------------
@@ -432,8 +483,10 @@ class Seq2SeqAgent:
         instr_ids = env.instr_ids()
         ended = np.zeros(batch_size, bool)
         last_dist = obs.distance.copy()
-        visited = ([set(env.current_viewpoints()[i: i + 1])
-                    for i in range(batch_size)] if cfg.submit else None)
+        # node-index visited sets; the current node is added at each step
+        # before masking (agent_dg.py:836-841)
+        visited = ([set() for _ in range(batch_size)]
+                   if cfg.submit else None)
 
         dec_h = (cfg.d_hidden_size if cfg.encoder_type != "EncoderLSTM"
                  else cfg.rnn_dim)
@@ -455,10 +508,10 @@ class Seq2SeqAgent:
         for t in range(self.episode_len):
             visited_mask = None
             if cfg.submit:
-                vps = env.current_viewpoints()
+                nodes = env.current_nodes()
                 visited_mask = np.zeros_like(obs.cand_point_id, bool)
                 for i in range(batch_size):
-                    visited[i].add(env.sim.states[i].ix)
+                    visited[i].add(int(nodes[i]))
                     visited_mask[i] = np.isin(
                         obs.cand_nbr_ix[i], list(visited[i]))
             sobs = self._to_sobs(obs, ended, visited_mask, t == 0)
@@ -503,13 +556,14 @@ class Seq2SeqAgent:
             self.results[iid] = {"instr_id": iid, "trajectory": tr}
 
         if training:
-            # pad every training replay to the full episode length: ONE
-            # compiled program per feedback mode (a new length bucket
-            # costs minutes of XLA compilation, far more than the padded
-            # steps' FLOPs).  Padded steps are inert (active=False,
-            # rl_mask=0, reward=0) and only exist when all episodes have
-            # ended, so the A2C bootstrap through them is exactly zero.
-            n_steps = self.episode_len
+            # pad T to buckets of 8 (capped at max_action): bounded set
+            # of compiled replay variants — precompile_replay() +
+            # the persistent compile cache absorb the one-time cost, and
+            # short teacher rollouts avoid paying 35 steps of FLOPs.
+            # Padded steps are inert (active=False, rl_mask=0, reward=0)
+            # and only exist when all episodes have ended, so the A2C
+            # bootstrap through them is exactly zero.
+            n_steps = min(self.episode_len, -(-len(records) // 8) * 8)
             while len(records) < n_steps:
                 pad = {k: v.copy() for k, v in records[-1].items()}
                 pad["active"] = np.zeros_like(pad["active"])
@@ -536,9 +590,12 @@ class Seq2SeqAgent:
             else:
                 self._grad_accum = jax.tree_util.tree_map(
                     jnp.add, self._grad_accum, grads)
+            # keep logs as device scalars: forcing them here would sync
+            # and serialize the (async) replay against the next rollout's
+            # act phase; LazyLogs materializes on read
             for k, v in logs.items():
-                self.logs[k].append(float(v))
-            self.losses.append(float(logs["loss"]))
+                self.logs[k].append(v)
+            self.losses.append(logs["loss"])
 
         return [{"instr_id": iid, "path": tr}
                 for iid, tr in zip(instr_ids, trajs)]
