@@ -214,16 +214,16 @@ class Seq2SeqAgent:
             self._jit_cache[key] = run
         return self._jit_cache[key]
 
-    def _grad_fn(self, feedback: str, train_rl: bool, use_noise: bool,
-                 n_steps: int):
-        key = ("grad", feedback, train_rl, use_noise, n_steps)
+    def _grad_fn(self, use_noise: bool, n_steps: int):
+        key = ("grad", use_noise, n_steps)
         if key not in self._jit_cache:
             cfg = self.cfg
             policy = self.policy
 
             def loss_fn(inner_params, tables, instr, valid, seq_len,
                         stacked, final_sobs, rewards, rl_masks,
-                        final_ended, base_rng, env_noise, ml_weight):
+                        final_ended, base_rng, env_noise, ml_weight,
+                        rl_weight, ent_weight):
                 params = {"params": inner_params}
                 cached = policy.apply(
                     params, instr, valid, seq_len, deterministic=False,
@@ -292,48 +292,47 @@ class Seq2SeqAgent:
                         "ml_loss": ml_loss,
                         "entropy": outs["ent"].sum()}
 
-                if train_rl:
-                    # bootstrap value from one extra decoder step on the
-                    # final obs (agent_dg.py:977-1001)
-                    inputs = make_step_inputs(cfg, tables, final_sobs)
-                    step_rng = jax.random.fold_in(base_rng, n_steps)
-                    _, _, last_value, _ = policy.apply(
-                        params, cached, valid, seq_len, inputs, state,
-                        final_sobs["is_first"], deterministic=False,
-                        is_test=False,
-                        env_noise=env_noise if use_noise else None,
-                        rngs={"dropout": jax.random.fold_in(step_rng, 0)},
-                        method=DasaPolicy.policy_step)
-                    last_value = jax.lax.stop_gradient(
-                        last_value.astype(jnp.float32))
-                    g0 = jnp.where(final_ended, 0.0, last_value)
+                # A2C branch is always traced; rl_weight (0.0 / 1.0)
+                # selects it so teacher and sample passes share ONE
+                # compiled program (each extra variant costs minutes of
+                # XLA compilation on this toolchain)
+                inputs = make_step_inputs(cfg, tables, final_sobs)
+                step_rng = jax.random.fold_in(base_rng, n_steps)
+                _, _, last_value, _ = policy.apply(
+                    params, cached, valid, seq_len, inputs, state,
+                    final_sobs["is_first"], deterministic=False,
+                    is_test=False,
+                    env_noise=env_noise if use_noise else None,
+                    rngs={"dropout": jax.random.fold_in(step_rng, 0)},
+                    method=DasaPolicy.policy_step)
+                last_value = jax.lax.stop_gradient(
+                    last_value.astype(jnp.float32))
+                g0 = jnp.where(final_ended, 0.0, last_value)
 
-                    def rev_step(g, xs):
-                        r, v, logp_a, ent, m = xs
-                        g = g * cfg.gamma + r
-                        adv = jax.lax.stop_gradient(g - v)
-                        pol = (-logp_a * adv * m).sum()
-                        val = 0.5 * (((g - v) ** 2) * m).sum()
-                        step_loss = pol + val
-                        if feedback == "sample":
-                            step_loss = step_loss + (-0.01 * ent * m).sum()
-                        return g, (step_loss, val)
+                def rev_step(g, xs):
+                    r, v, logp_a, ent, m = xs
+                    g = g * cfg.gamma + r
+                    adv = jax.lax.stop_gradient(g - v)
+                    pol = (-logp_a * adv * m).sum()
+                    val = 0.5 * (((g - v) ** 2) * m).sum()
+                    step_loss = pol + val + (-ent_weight * ent * m).sum()
+                    return g, (step_loss, val)
 
-                    _, (step_losses, critic_losses) = jax.lax.scan(
-                        rev_step, g0,
-                        (rewards, outs["value"], outs["logp_a"],
-                         outs["ent"], rl_masks),
-                        reverse=True)
-                    rl_loss = step_losses.sum()
-                    total = rl_masks.sum()
-                    if cfg.normalize_loss == "total":
-                        rl_loss = rl_loss / jnp.maximum(total, 1.0)
-                    elif cfg.normalize_loss == "batch":
-                        rl_loss = rl_loss / batch
-                    total_loss = total_loss + rl_loss
-                    logs["rl_loss"] = rl_loss
-                    logs["critic_loss"] = critic_losses.sum()
-                    logs["total"] = total
+                _, (step_losses, critic_losses) = jax.lax.scan(
+                    rev_step, g0,
+                    (rewards, outs["value"], outs["logp_a"],
+                     outs["ent"], rl_masks),
+                    reverse=True)
+                rl_loss = step_losses.sum()
+                total = rl_masks.sum()
+                if cfg.normalize_loss == "total":
+                    rl_loss = rl_loss / jnp.maximum(total, 1.0)
+                elif cfg.normalize_loss == "batch":
+                    rl_loss = rl_loss / batch
+                total_loss = total_loss + rl_weight * rl_loss
+                logs["rl_loss"] = rl_weight * rl_loss
+                logs["critic_loss"] = rl_weight * critic_losses.sum()
+                logs["total"] = total
 
                 logs["loss"] = total_loss
                 return total_loss, logs
@@ -341,12 +340,13 @@ class Seq2SeqAgent:
             @jax.jit
             def run(params, tables, instr, valid, seq_len, stacked,
                     final_sobs, rewards, rl_masks, final_ended, base_rng,
-                    env_noise, ml_weight):
+                    env_noise, ml_weight, rl_weight, ent_weight):
                 (loss, logs), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(
                     params["params"], tables, instr, valid, seq_len,
                     stacked, final_sobs, rewards, rl_masks, final_ended,
-                    base_rng, env_noise, ml_weight)
+                    base_rng, env_noise, ml_weight, rl_weight,
+                    ent_weight)
                 return grads, logs
 
             def wrapper(params, *a):
@@ -377,8 +377,7 @@ class Seq2SeqAgent:
         compilation in the middle of training."""
         cfg = self.cfg
         if buckets is None:
-            buckets = sorted({min(self.episode_len, t)
-                              for t in range(8, self.episode_len + 8, 8)})
+            buckets = sorted({min(8, self.episode_len), self.episode_len})
         use_noise = cfg.consistent_drop or cfg.self_train
         b, k, L = batch_size, cfg.max_candidates, cfg.max_input
         instr = jnp.ones((b, L), jnp.int32)
@@ -406,18 +405,18 @@ class Seq2SeqAgent:
                 "action": jnp.zeros(shape, jnp.int32),
             }
 
-        for feedback in feedbacks:
-            train_rl = feedback == "sample"
-            for t in buckets:
-                fn = self._grad_fn(feedback, train_rl, use_noise, t)
-                grads, logs = fn(
-                    self.params, self.tables, instr, valid, seq_len,
-                    dummy_sobs(t), dummy_sobs(),
-                    jnp.zeros((t, b), jnp.float32),
-                    jnp.zeros((t, b), jnp.float32),
-                    jnp.ones((b,), bool), self._base_rng, env_noise,
-                    jnp.asarray(0.0, jnp.float32))
-                jax.block_until_ready(logs["loss"])
+        for t in buckets:
+            fn = self._grad_fn(use_noise, t)
+            grads, logs = fn(
+                self.params, self.tables, instr, valid, seq_len,
+                dummy_sobs(t), dummy_sobs(),
+                jnp.zeros((t, b), jnp.float32),
+                jnp.zeros((t, b), jnp.float32),
+                jnp.ones((b,), bool), self._base_rng, env_noise,
+                jnp.asarray(0.0, jnp.float32),
+                jnp.asarray(0.0, jnp.float32),
+                jnp.asarray(0.0, jnp.float32))
+            jax.block_until_ready(logs["loss"])
 
     # ------------------------------------------------------------------
     # rollout
@@ -563,7 +562,7 @@ class Seq2SeqAgent:
             # Padded steps are inert (active=False, rl_mask=0, reward=0)
             # and only exist when all episodes have ended, so the A2C
             # bootstrap through them is exactly zero.
-            n_steps = min(self.episode_len, -(-len(records) // 8) * 8)
+            n_steps = (8 if len(records) <= 8 else self.episode_len)
             while len(records) < n_steps:
                 pad = {k: v.copy() for k, v in records[-1].items()}
                 pad["active"] = np.zeros_like(pad["active"])
@@ -577,14 +576,16 @@ class Seq2SeqAgent:
             }
             final_sobs = self._to_sobs(obs, ended, None, False)
             final_sobs = {k: jnp.asarray(v) for k, v in final_sobs.items()}
-            grads, logs = self._grad_fn(
-                feedback, train_rl, use_noise, n_steps)(
+            grads, logs = self._grad_fn(use_noise, n_steps)(
                 self.params, self.tables, instr, valid, seq_len, stacked,
                 final_sobs, jnp.asarray(np.stack(rewards)),
                 jnp.asarray(np.stack(rl_masks)), jnp.asarray(ended),
                 base_rng, env_noise,
                 jnp.asarray(train_ml if train_ml is not None else 0.0,
-                            jnp.float32))
+                            jnp.float32),
+                jnp.asarray(1.0 if train_rl else 0.0, jnp.float32),
+                jnp.asarray(0.01 if (train_rl and feedback == "sample")
+                            else 0.0, jnp.float32))
             if self._grad_accum is None:
                 self._grad_accum = grads
             else:
