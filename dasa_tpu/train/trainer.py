@@ -169,12 +169,17 @@ def train(cfg: Config, world: Optional[World] = None,
     feedback = cfg.feedback
     log_every = 40 if cfg.fast_train else cfg.log_every
     start = time.time()
+    from dasa_tpu.utils.misc import GracefulKiller, Timer
+
+    killer = GracefulKiller()
+    timer = Timer()
 
     for idx in range(start_iter, start_iter + cfg.iters, log_every):
         agent.logs = defaultdict(list)
         interval = min(log_every, start_iter + cfg.iters - idx)
         it = idx + interval
 
+        timer.tic("train")
         if aug_env is None:
             agent.env = train_env
             agent.train(interval, feedback=feedback)
@@ -189,6 +194,8 @@ def train(cfg: Config, world: Optional[World] = None,
                                           ml_weight=cfg.ml_weight_aug,
                                           speaker=speaker)
                 agent.optim_step()
+        timer.toc("train")
+        timer.step()
 
         total = max(sum(agent.logs.get("total", [])), 1)
         for tag in ("loss", "ml_loss", "forth_loss", "rl_loss"):
@@ -211,6 +218,11 @@ def train(cfg: Config, world: Optional[World] = None,
         if it % cfg.save_every == 0:
             agent.save(it, os.path.join(snap_dir, f"LAST_iter{it}"))
         writer.flush()
+        if killer.kill_now:  # SIGINT/SIGTERM: checkpoint and exit clean
+            agent.save(it, os.path.join(snap_dir, f"LAST_iter{it}"))
+            print(f"PROGRESS: interrupted at {it}, checkpoint saved",
+                  flush=True)
+            break
 
     agent.save(start_iter + cfg.iters,
                os.path.join(snap_dir, f"LAST_iter{start_iter + cfg.iters}"))
