@@ -26,8 +26,9 @@ class MetricsWriter:
                 self.tb = None
 
     def add_scalar(self, tag: str, value: float, step: int):
+        value = float(value)  # device scalars (lazy agent logs) -> host
         self._jsonl.write(json.dumps(
-            {"t": time.time(), "tag": tag, "value": float(value),
+            {"t": time.time(), "tag": tag, "value": value,
              "step": int(step)}) + "\n")
         if self.tb is not None:
             self.tb.add_scalar(tag, value, step)
