@@ -682,6 +682,10 @@ class Seq2SeqAgent:
                     break
         return list(self.results.values())
 
+    def get_results(self) -> List[dict]:
+        """Reference API parity (BaseAgent.get_results)."""
+        return list(self.results.values())
+
     # ------------------------------------------------------------------
     def save(self, epoch: int, path: str):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

@@ -150,3 +150,79 @@ def test_save_load_roundtrip(world, connectivity_dir, tmp_path):
     b = jax.tree_util.tree_leaves(agent2.params)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_act_replay_rng_equivalence(world, connectivity_dir):
+    """The replay scan must reproduce the act phase's per-step forward
+    exactly: same fold_in(base_rng, t) rng derivation inside lax.scan as
+    in the per-step jitted calls (the core invariant that makes replay
+    training mathematically identical to the acted rollout)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dasa_tpu.models import DasaPolicy, DecoderState
+    from dasa_tpu.agents.seq2seq import make_step_inputs
+
+    cfg = tiny_cfg(consistent_drop=True, max_action=4, batch_size=2,
+                   encoder_type="Dic", include_vision=True,
+                   adain_type="channel", ab_type="a", a_type="sigmoid")
+    data_dir, feature_db, depth_db, tok = world
+    env, _ = make_env(world, cfg, "train", connectivity_dir)
+    agent = Seq2SeqAgent(cfg, env, feature_db, depth_db=depth_db,
+                         vocab_size=len(tok))
+    obs = env.reset()
+    base_rng = jax.random.PRNGKey(42)
+    env_noise = agent._noise_fn()(base_rng)
+    instr = jnp.asarray(obs.instr)
+    valid = jnp.asarray(~obs.pad_mask)
+    seq_len = jnp.asarray(obs.seq_len)
+    cached = agent._encode_fn(True)(agent.params, instr, valid, seq_len,
+                                    base_rng)
+    sobs_list = []
+    ended = np.zeros(2, bool)
+    for t in range(3):
+        sobs_list.append(agent._to_sobs(obs, ended, None, t == 0))
+        a = np.where(obs.teacher < obs.cand_n, obs.teacher, -1)
+        obs = env.step(a)
+
+    # per-step (act-style) forwards
+    dec_h = cfg.d_hidden_size
+    state = DecoderState(*(jnp.zeros((2, dec_h)),) * 3)
+    act_states = []
+    for t, sobs in enumerate(sobs_list):
+        sobs_dev = {k: jnp.asarray(v) for k, v in sobs.items()}
+        inputs = make_step_inputs(cfg, agent.tables, sobs_dev)
+        step_rng = jax.random.fold_in(base_rng, t)
+        state, logit, value, _ = agent.policy.apply(
+            agent.params, cached, valid, seq_len, inputs, state,
+            sobs_dev["is_first"], deterministic=False, is_test=False,
+            env_noise=env_noise,
+            rngs={"dropout": jax.random.fold_in(step_rng, 0)},
+            method=DasaPolicy.policy_step)
+        act_states.append((np.asarray(state.h), np.asarray(logit)))
+
+    # scan-style (replay) forwards with the same derivation
+    stacked = {k: jnp.asarray(np.stack([s[k] for s in sobs_list]))
+               for k in sobs_list[0]}
+
+    def step(carry, sobs):
+        st, t = carry
+        inputs = make_step_inputs(cfg, agent.tables, sobs)
+        step_rng = jax.random.fold_in(base_rng, t)
+        new_state, logit, value, _ = agent.policy.apply(
+            agent.params, cached, valid, seq_len, inputs, st,
+            sobs["is_first"], deterministic=False, is_test=False,
+            env_noise=env_noise,
+            rngs={"dropout": jax.random.fold_in(step_rng, 0)},
+            method=DasaPolicy.policy_step)
+        return (new_state, t + 1), (new_state.h, logit)
+
+    (_, _), (hs, logits) = jax.lax.scan(
+        step, (DasaPolicy and DecoderState(*(jnp.zeros((2, dec_h)),) * 3),
+               jnp.asarray(0, jnp.int32)), stacked)
+    for t in range(3):
+        np.testing.assert_allclose(np.asarray(hs[t]), act_states[t][0],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(logits[t]),
+                                   act_states[t][1], rtol=1e-4,
+                                   atol=1e-5)

@@ -26,7 +26,10 @@ def main(argv=None):
     if cfg.train in ("listener", "auglistener"):
         trainer.train(cfg)
     elif cfg.train == "validlistener":
-        trainer.valid(cfg)
+        if cfg.beam:  # Dijkstra-search validation (train.py:530-579)
+            trainer.beam_valid(cfg)
+        else:
+            trainer.valid(cfg)
     elif cfg.train == "speaker":
         trainer.train_speaker(cfg)
     elif cfg.train == "validspeaker":
