@@ -45,28 +45,31 @@ def _reference(h, ctx, w_in, w_shift, b_shift):
 
 def _kernel_body(h_ref, ctx_ref, win_ref, wshift_ref, bshift_ref,
                  out_ref, logit_ref, ks: int):
-    h = h_ref[:].astype(jnp.float32)            # (B, H)
-    ctx = ctx_ref[:].astype(jnp.float32)        # (B, T, C)
+    """One batch row per grid program; every op is rank-2 so Mosaic can
+    lower it (batched 3D dot_generals are rejected)."""
+    h = h_ref[:].astype(jnp.float32)            # (1, H)
+    ctx = ctx_ref[0].astype(jnp.float32)        # (T, C)
     target = jnp.dot(h, win_ref[:].astype(jnp.float32),
-                     preferred_element_type=jnp.float32)   # (B, C)
-    logit = jnp.einsum("btc,bc->bt", ctx, target)
+                     preferred_element_type=jnp.float32)   # (1, C)
+    logit = jnp.dot(ctx, target.T,
+                    preferred_element_type=jnp.float32).T  # (1, T)
     logit_ref[:] = logit.astype(logit_ref.dtype)
     attn = jax.nn.softmax(logit, axis=-1)
     kern = jax.nn.softmax(
         jnp.dot(h, wshift_ref[:].astype(jnp.float32),
                 preferred_element_type=jnp.float32)
-        + bshift_ref[:].astype(jnp.float32), axis=-1)      # (B, ks)
-    b, n = attn.shape
+        + bshift_ref[:].astype(jnp.float32), axis=-1)      # (1, ks)
+    n = attn.shape[1]
     width = n // 3
     pad = ks // 2
-    rows = attn.reshape(b, 3, width)
-    ring = jnp.concatenate([rows[:, :, -pad:], rows, rows[:, :, :pad]],
-                           axis=-1)
+    rows = attn.reshape(3, width)
+    ring = jnp.concatenate([rows[:, -pad:], rows, rows[:, :pad]], axis=-1)
     sm = rows * 0.0
     for i in range(ks):
-        sm = sm + ring[:, :, i: i + width] * kern[:, i][:, None, None]
-    out_ref[:] = jnp.einsum("bt,btc->bc", sm.reshape(b, n),
-                            ctx).astype(out_ref.dtype)
+        sm = sm + ring[:, i: i + width] * kern[0, i]
+    out_ref[:] = jnp.dot(sm.reshape(1, n), ctx,
+                         preferred_element_type=jnp.float32
+                         ).astype(out_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
@@ -75,9 +78,20 @@ def shift_attend(h, ctx, w_in, w_shift, b_shift, interpret=False):
     w_in (H, C); w_shift (H, k); b_shift (k,).
     Returns (weighted_context (B, C), raw logits (B, T))."""
     b, t, c = ctx.shape
+    hd = h.shape[1]
     ks = w_shift.shape[1]
     out, logit = pl.pallas_call(
         functools.partial(_kernel_body, ks=ks),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, hd), lambda i: (i, 0)),
+            pl.BlockSpec((1, t, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((hd, c), lambda i: (0, 0)),
+            pl.BlockSpec((hd, ks), lambda i: (0, 0)),
+            pl.BlockSpec((1, ks), lambda i: (0, 0)),
+        ],
+        out_specs=(pl.BlockSpec((1, c), lambda i: (i, 0)),
+                   pl.BlockSpec((1, t), lambda i: (i, 0))),
         out_shape=(jax.ShapeDtypeStruct((b, c), ctx.dtype),
                    jax.ShapeDtypeStruct((b, t), jnp.float32)),
         interpret=interpret,
