@@ -175,13 +175,7 @@ class ShiftSoftDotAttention(nn.Module):
         h = h.astype(self.dtype)
         context = context.astype(self.dtype)
         batch = h.shape[0]
-        # the fused shift kernel uses batched 3D contractions that the
-        # Mosaic lowering rejects on current toolchains; keep it opt-in
-        # via DASA_PALLAS_SHIFT=1 until the kernel is re-tiled per batch
-        import os
-
-        if (self.use_pallas and mask is None
-                and os.environ.get("DASA_PALLAS_SHIFT") == "1"):
+        if self.use_pallas and mask is None:
             from dasa_tpu.ops.shift_attention import shift_attend
 
             w_in = self.param("linear_in/kernel",

@@ -43,33 +43,59 @@ def _reference(h, ctx, w_in, w_shift, b_shift):
     return weighted, logit
 
 
-def _kernel_body(h_ref, ctx_ref, win_ref, wshift_ref, bshift_ref,
-                 out_ref, logit_ref, ks: int):
-    """One batch row per grid program; every op is rank-2 so Mosaic can
-    lower it (batched 3D dot_generals are rejected)."""
-    h = h_ref[:].astype(jnp.float32)            # (1, H)
-    ctx = ctx_ref[0].astype(jnp.float32)        # (T, C)
-    target = jnp.dot(h, win_ref[:].astype(jnp.float32),
-                     preferred_element_type=jnp.float32)   # (1, C)
-    logit = jnp.dot(ctx, target.T,
-                    preferred_element_type=jnp.float32).T  # (1, T)
-    logit_ref[:] = logit.astype(logit_ref.dtype)
-    attn = jax.nn.softmax(logit, axis=-1)
-    kern = jax.nn.softmax(
-        jnp.dot(h, wshift_ref[:].astype(jnp.float32),
-                preferred_element_type=jnp.float32)
-        + bshift_ref[:].astype(jnp.float32), axis=-1)      # (1, ks)
-    n = attn.shape[1]
-    width = n // 3
+def _shift_perm_matrix(n: int, ks: int, width: int = 12):
+    """(ks*n, n) stack of permutation matrices: P_k maps attention slot
+    t = e*width + pos to slot e*width + (pos + k - ks//2) mod width —
+    the circular heading shift as a matmul (the (3, 12) grid reshape is
+    not Mosaic-lowerable, a constant permutation matmul is)."""
+    import numpy as _np
+
     pad = ks // 2
-    rows = attn.reshape(3, width)
-    ring = jnp.concatenate([rows[:, -pad:], rows, rows[:, :pad]], axis=-1)
-    sm = rows * 0.0
-    for i in range(ks):
-        sm = sm + ring[:, i: i + width] * kern[0, i]
-    out_ref[:] = jnp.dot(sm.reshape(1, n), ctx,
-                         preferred_element_type=jnp.float32
-                         ).astype(out_ref.dtype)
+    perms = _np.zeros((ks * n, n), _np.float32)
+    for k in range(ks):
+        for t in range(n):
+            e, pos = divmod(t, width)
+            src = e * width + (pos + k - pad) % width
+            # out[t] sums attn[src] * kern[k]
+            perms[k * n + src, t] = 1.0
+    return perms
+
+
+def _kernel_body(h_ref, ctx_ref, win_ref, wshift_ref, bshift_ref,
+                 perm_ref, out_ref, logit_ref, ks: int):
+    """Single program, statically unrolled over batch rows: every slice
+    index is static, every op rank-2, and the circular-shift smoothing
+    is a constant permutation matmul — the shapes Mosaic can lower
+    (batched 3D dot_generals, 1-row dynamic sublane slices, and
+    lane-merging reshapes are all rejected)."""
+    b = h_ref.shape[0]
+    n = logit_ref.shape[1]
+    # keep the large operands in their storage dtype (bf16): f32 copies
+    # of ctx/w_in alone would blow the 16MB VMEM budget; the MXU
+    # accumulates in f32 via preferred_element_type
+    w_in = win_ref[:]
+    w_shift = wshift_ref[:]
+    b_shift = bshift_ref[:].astype(jnp.float32)
+    for j in range(b):
+        h = h_ref[j:j + 1, :]                            # (1, H)
+        ctx = ctx_ref[j]                                 # (T, C)
+        target = jnp.dot(h, w_in,
+                         preferred_element_type=jnp.float32)   # (1, C)
+        logit = jnp.dot(ctx.astype(jnp.float32), target.T,
+                        preferred_element_type=jnp.float32).T  # (1, T)
+        logit_ref[j:j + 1, :] = logit.astype(logit_ref.dtype)
+        attn = jax.nn.softmax(logit, axis=-1)                  # (1, T)
+        kern = jax.nn.softmax(
+            jnp.dot(h, w_shift, preferred_element_type=jnp.float32)
+            + b_shift, axis=-1)                                # (1, ks)
+        sm = attn * 0.0
+        for k in range(ks):
+            p_k = perm_ref[k * n:(k + 1) * n, :]
+            sm = sm + kern[0, k] * jnp.dot(
+                attn, p_k, preferred_element_type=jnp.float32)
+        out_ref[j:j + 1, :] = jnp.dot(
+            sm.astype(ctx.dtype), ctx,
+            preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
@@ -80,22 +106,13 @@ def shift_attend(h, ctx, w_in, w_shift, b_shift, interpret=False):
     b, t, c = ctx.shape
     hd = h.shape[1]
     ks = w_shift.shape[1]
+    perms = jnp.asarray(_shift_perm_matrix(t, ks))
     out, logit = pl.pallas_call(
         functools.partial(_kernel_body, ks=ks),
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, hd), lambda i: (i, 0)),
-            pl.BlockSpec((1, t, c), lambda i: (i, 0, 0)),
-            pl.BlockSpec((hd, c), lambda i: (0, 0)),
-            pl.BlockSpec((hd, ks), lambda i: (0, 0)),
-            pl.BlockSpec((1, ks), lambda i: (0, 0)),
-        ],
-        out_specs=(pl.BlockSpec((1, c), lambda i: (i, 0)),
-                   pl.BlockSpec((1, t), lambda i: (i, 0))),
         out_shape=(jax.ShapeDtypeStruct((b, c), ctx.dtype),
                    jax.ShapeDtypeStruct((b, t), jnp.float32)),
         interpret=interpret,
-    )(h, ctx, w_in, w_shift, b_shift.reshape(1, ks))
+    )(h, ctx, w_in, w_shift, b_shift.reshape(1, ks), perms)
     return out, logit
 
 
