@@ -150,6 +150,44 @@ class Pretrainer:
         self.step_count += 1
         return float(loss), {k: float(v) for k, v in aux.items()}
 
+    def evaluate(self, batcher, max_batches: int = 50) -> dict:
+        """Held-out MLM/action accuracy (the reference's ValidBatch
+        evaluation role, r2r_src/validation.py + testpretrain.py)."""
+        if "eval" not in self.__dict__:
+            model = self.model
+
+            @jax.jit
+            def eval_step(params, feat_table, angle_table, batch):
+                img = assemble_pano(feat_table, angle_table,
+                                    batch["feat_row"],
+                                    batch["view_index"])
+                loss, mlm_logits, action_logits = model.apply(
+                    params, batch["seq"], batch["labels"],
+                    batch["action"], img, batch["lang_mask"],
+                    deterministic=True)
+                m = batch["labels"] >= 0
+                mlm_acc = (jnp.where(
+                    m, jnp.argmax(mlm_logits, -1) == batch["labels"],
+                    False).sum() / jnp.maximum(m.sum(), 1))
+                act_acc = (jnp.argmax(action_logits, -1)
+                           == batch["action"]).mean()
+                return loss, mlm_acc, act_acc
+
+            self.eval = eval_step
+        tot = np.zeros(3)
+        n = 0
+        for batch in batcher.epoch():
+            batch = shard_batch(batch, self.mesh)
+            with self.mesh:
+                out = self.eval(self.params, self.feat_table,
+                                self.angle_table, batch)
+            tot += np.array([float(x) for x in out])
+            n += 1
+            if n >= max_batches:
+                break
+        tot /= max(n, 1)
+        return {"loss": tot[0], "mlm_acc": tot[1], "act_acc": tot[2]}
+
     def save(self, path: str):
         if jax.process_index() != 0:
             return

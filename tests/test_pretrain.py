@@ -98,3 +98,19 @@ def test_pretrain_step_reduces_loss(world):
     # bert subtree exportable for the listener encoder
     bert = pt.export_bert_params()
     assert "embeddings" in bert and "addlayer_0" in bert
+
+
+def test_pretrain_evaluate(world):
+    env, feature_db, tok = world
+    cfg = Config(feature_size=DIM, angle_feat_size=8, max_input=L,
+                 batch_size=8, d_la_layers=1, d_vl_layers=1,
+                 encoder_type="Dic")
+    records = generate_pretrain_records(env, max_steps=10)
+    batcher = PretrainBatcher(records, cfg.batch_size, len(tok),
+                              tok.word_to_index["<MASK>"])
+    pt = Pretrainer(cfg, feature_db, len(tok))
+    pt.shard_inputs()
+    out = pt.evaluate(batcher, max_batches=3)
+    assert set(out) == {"loss", "mlm_acc", "act_acc"}
+    assert 0.0 <= out["mlm_acc"] <= 1.0
+    assert np.isfinite(out["loss"])
