@@ -223,9 +223,15 @@ def run_pretrain(cfg: Config, world=None) -> Pretrainer:
     env = world.envs["train"]
     records = generate_pretrain_records(env, max_steps=cfg.max_action)
     print(f"pretrain records: {len(records)}")
+    n_val = max(cfg.batch_size, len(records) // 20)
+    val_records, records = records[:n_val], records[n_val:]
     batcher = PretrainBatcher(records, cfg.batch_size, len(tok),
                               tok.word_to_index["<MASK>"], seed=cfg.seed,
                               mask_rate=cfg.word_mask_rate)
+    val_batcher = PretrainBatcher(val_records, cfg.batch_size, len(tok),
+                                  tok.word_to_index["<MASK>"],
+                                  seed=cfg.seed + 1,
+                                  mask_rate=cfg.word_mask_rate)
     pt = Pretrainer(cfg, world.feature_db, len(tok))
     pt.shard_inputs()
     rng = jax.random.PRNGKey(cfg.seed + 3)
@@ -242,6 +248,11 @@ def run_pretrain(cfg: Config, world=None) -> Pretrainer:
                       f"mlm_acc {aux['mlm_acc']:.3f} "
                       f"act_acc {aux['act_acc']:.3f} "
                       f"({time.time() - start:.0f}s)", flush=True)
+            if it % cfg.val_every == 0:
+                val = pt.evaluate(val_batcher, max_batches=10)
+                print(f"pretrain VAL iter {it}: loss {val['loss']:.4f} "
+                      f"mlm_acc {val['mlm_acc']:.3f} "
+                      f"act_acc {val['act_acc']:.3f}", flush=True)
             if it % cfg.save_every == 0 or it >= cfg.iters:
                 pt.save(os.path.join(snap_dir, f"checkpoint-{it}"))
             if it >= cfg.iters:
