@@ -40,6 +40,18 @@ def main(argv=None):
         run_pretrain(cfg)
     elif cfg.train == "beamvalid":
         trainer.beam_valid(cfg)
+    elif cfg.train == "simpleagents":
+        from dasa_tpu.agents.simple import eval_simple_agents
+
+        world = trainer.World(cfg)
+        for env_name in ("val_seen", "val_unseen"):
+            out = eval_simple_agents(world.envs[env_name],
+                                     world.evaluators[env_name],
+                                     episode_len=cfg.max_action)
+            for agent_name, summary in out.items():
+                print("%s %s: %s" % (env_name, agent_name, ", ".join(
+                    "%s: %.4f" % (m, v) for m, v in summary.items())),
+                    flush=True)
     elif cfg.train in ("ndh", "ndhlistener"):
         world = trainer.World(cfg, ndh=True)
         trainer.train(cfg, world=world)
