@@ -166,3 +166,37 @@ def test_minibatch_wraparound(task, feature_db, connectivity_dir):
         env.reset()
         seen.update(env.instr_ids())
     assert len(seen) == n
+
+
+def test_random_start_reset(task, feature_db, connectivity_dir):
+    env, _, _ = _make_env(task, feature_db, connectivity_dir)
+    rs = set()
+    for trial in range(5):
+        obs = env.reset(random_start=True)
+        for i, item in enumerate(env.batch):
+            vp = env.current_viewpoints()[i]
+            assert vp in item["path"]  # random start picks a path node
+            rs.add(vp == item["path"][0])
+        # progress normalizes by the annotated start (env.py:428-442)
+        assert np.isfinite(obs.progress).all()
+    assert True in rs  # sometimes starts at path[0]
+
+
+def test_feature_db_tsv_roundtrip(tmp_path, connectivity_dir):
+    """base64 TSV (the reference feature format, utils.py:272-312)."""
+    import base64
+    import csv
+
+    db = FeatureDB.synthetic([SCAN], connectivity_dir, dim=8)
+    path = str(tmp_path / "feat.tsv")
+    with open(path, "w") as f:
+        w = csv.writer(f, delimiter="\t")
+        for lid, block in zip(db.ids[:5], db.values[:5]):
+            scan, vp = lid.split("_")
+            w.writerow([scan, vp, 640, 480, 60,
+                        base64.b64encode(
+                            block.astype(np.float32).tobytes()).decode()])
+    db2 = FeatureDB.from_tsv(path)
+    assert db2.num_rows == 5
+    np.testing.assert_allclose(db2.values, db.values[:5], rtol=1e-6)
+    assert db2.ids == db.ids[:5]
