@@ -27,8 +27,7 @@ from __future__ import annotations
 import os
 import pickle
 from collections import defaultdict
-from functools import partial
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp

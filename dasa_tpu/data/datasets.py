@@ -25,7 +25,6 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from dasa_tpu.sim.graph import load_scan_graph
-from dasa_tpu.utils.angles import HEADING_INC
 
 
 def load_datasets(splits: Sequence[str], data_dir: str = "data/task") -> List[dict]:

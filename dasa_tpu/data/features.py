@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import base64
 import csv
-import os
 import sys
 import zlib
 from typing import Dict, List, Optional, Sequence

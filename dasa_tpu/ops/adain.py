@@ -77,11 +77,14 @@ def _pallas_forward(f2, d2, w, b, noise, interpret):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def adain_channel_gate(f, d, w, b, noise=None, interpret=False):
+def adain_channel_gate(f, d, w, b, noise=None, interpret=None):
     """out = sigmoid(d @ w + b) * f * noise.
 
     f, d: (..., C); w: (C, C); b: (C,); noise: (C,) or None.
+    interpret=None auto-selects the interpreter off-TPU.
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     shape = f.shape
     c = shape[-1]
     f2 = f.reshape(-1, c)

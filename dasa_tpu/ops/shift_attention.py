@@ -99,10 +99,13 @@ def _kernel_body(h_ref, ctx_ref, win_ref, wshift_ref, bshift_ref,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def shift_attend(h, ctx, w_in, w_shift, b_shift, interpret=False):
+def shift_attend(h, ctx, w_in, w_shift, b_shift, interpret=None):
     """Fused shift attention.  h (B, H); ctx (B, T, C) with T % 3 == 0;
     w_in (H, C); w_shift (H, k); b_shift (k,).
-    Returns (weighted_context (B, C), raw logits (B, T))."""
+    Returns (weighted_context (B, C), raw logits (B, T)).
+    interpret=None auto-selects the interpreter off-TPU."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     b, t, c = ctx.shape
     hd = h.shape[1]
     ks = w_shift.shape[1]

@@ -15,7 +15,6 @@ weights are 3-D euclidean distances and the graph is undirected
 from __future__ import annotations
 
 import json
-import math
 import os
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional

@@ -13,14 +13,14 @@ import json
 import os
 import time
 from collections import defaultdict
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 
 from dasa_tpu.agents import Seq2SeqAgent
 from dasa_tpu.config import Config
 from dasa_tpu.data.datasets import expand_instructions, load_datasets
-from dasa_tpu.data.features import FeatureDB, load_feature_db
+from dasa_tpu.data.features import load_feature_db
 from dasa_tpu.env import R2REnv
 from dasa_tpu.train.evaluation import Evaluation
 from dasa_tpu.train.metrics import MetricsWriter

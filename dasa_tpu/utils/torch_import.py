@@ -17,8 +17,7 @@ transposed, with bias = bias_ih + bias_hh (same i,f,g,o gate order).
 
 from __future__ import annotations
 
-import re
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 
