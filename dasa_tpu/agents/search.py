@@ -77,8 +77,9 @@ def dijkstra_search(agent: Seq2SeqAgent, n_candidates: int = 1,
         "paths": [],
     } for i in range(batch)]
 
-    dec_h = (cfg.d_hidden_size if cfg.encoder_type != "EncoderLSTM"
-             else cfg.rnn_dim)
+    from dasa_tpu.models.policy import decoder_state_width
+
+    dec_h = decoder_state_width(cfg)
     zero_state = (np.zeros(dec_h, np.float32),) * 3
 
     def sid(viewpoint, action):

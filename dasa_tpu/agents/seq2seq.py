@@ -39,6 +39,7 @@ from dasa_tpu.config import Config
 from dasa_tpu.data.features import FeatureDB
 from dasa_tpu.env import Obs, R2REnv
 from dasa_tpu.models import DasaPolicy, DecoderState, StepInputs
+from dasa_tpu.models.policy import decoder_state_width
 from dasa_tpu.models.featurize import (
     angle_feature,
     assemble_candidates,
@@ -230,9 +231,7 @@ class Seq2SeqAgent:
                                                         INIT_SALT)},
                     method=DasaPolicy.encode_text)
                 batch = instr.shape[0]
-                dec_h = (cfg.d_hidden_size
-                         if cfg.encoder_type != "EncoderLSTM"
-                         else cfg.rnn_dim)
+                dec_h = decoder_state_width(cfg)
                 state0 = DecoderState(
                     h=jnp.zeros((batch, dec_h), self.dtype),
                     c=jnp.zeros((batch, dec_h), self.dtype),
@@ -486,8 +485,7 @@ class Seq2SeqAgent:
         visited = ([set() for _ in range(batch_size)]
                    if cfg.submit else None)
 
-        dec_h = (cfg.d_hidden_size if cfg.encoder_type != "EncoderLSTM"
-                 else cfg.rnn_dim)
+        dec_h = decoder_state_width(cfg)
         state = DecoderState(
             h=jnp.zeros((batch_size, dec_h), self.dtype),
             c=jnp.zeros((batch_size, dec_h), self.dtype),

@@ -43,6 +43,14 @@ class DecoderState(NamedTuple):
     h1: jnp.ndarray
 
 
+def decoder_state_width(cfg: Config) -> int:
+    """Width of the DecoderState arrays: the double agent carries two
+    decoder streams packed side by side."""
+    base = (cfg.d_hidden_size if cfg.encoder_type != "EncoderLSTM"
+            else cfg.rnn_dim)
+    return base * (2 if cfg.agent_type == "double" else 1)
+
+
 def bert_config_from(cfg: Config) -> BertConfig:
     base = (BertConfig.large if cfg.d_bert_type == "large"
             else BertConfig.base)
@@ -90,13 +98,25 @@ class DasaPolicy(nn.Module):
             num_dir = 2 if cfg.d_bidirectional else 1
             ctx_dim = (cfg.d_enc_hidden_size * num_dir if cfg.d_top_lstm
                        else (1024 if cfg.d_bert_type == "large" else 768))
-            self.decoder = BAttnDecoderLSTM(
-                cfg.aemb, cfg.d_hidden_size, cfg.dropout, cfg.featdropout,
-                feature_all, cfg.angle_feat_size, ctx_dim=ctx_dim,
-                use_shift=cfg.use_shift,
-                shift_kernel_size=cfg.shift_kernel_size,
-                pred_back=cfg.pred_back, back_input=cfg.back_input,
-                dtype=self.dtype, use_pallas=use_pallas)
+            if cfg.agent_type == "double":
+                # dual RGB+depth decoders with summed candidate logits
+                # (reference agent_double, model.py:934-968)
+                from dasa_tpu.models.variants import (
+                    DoubleBAttnDecoderLSTM,
+                )
+
+                self.decoder = DoubleBAttnDecoderLSTM(
+                    cfg.aemb, cfg.d_hidden_size, cfg.dropout,
+                    cfg.featdropout, feature_all, cfg.angle_feat_size,
+                    ctx_dim=ctx_dim, dtype=self.dtype)
+            else:
+                self.decoder = BAttnDecoderLSTM(
+                    cfg.aemb, cfg.d_hidden_size, cfg.dropout,
+                    cfg.featdropout, feature_all, cfg.angle_feat_size,
+                    ctx_dim=ctx_dim, use_shift=cfg.use_shift,
+                    shift_kernel_size=cfg.shift_kernel_size,
+                    pred_back=cfg.pred_back, back_input=cfg.back_input,
+                    dtype=self.dtype, use_pallas=use_pallas)
             dec_hidden = cfg.d_hidden_size
         self.critic = Critic(cfg.critic_dim, cfg.dropout, self.dtype)
         self.adain = make_adain(cfg.adain_type, cfg.feature_size,
@@ -135,7 +155,12 @@ class DasaPolicy(nn.Module):
         cfg = self.cfg
         a = cfg.angle_feat_size
         if cfg.adain_type == "none":
-            return inputs
+            if cfg.agent_type == "double":
+                return inputs  # double keeps raw depth in the d_t slot
+            # decoder consumes the rgb pano when AdaIN is off
+            # (vl_rollout: df_t = f_t.clone(), agent_dg.py:729)
+            return inputs._replace(d_t=inputs.f_t,
+                                   cand_dfeat=inputs.cand_feat)
         f_vis, f_ang = inputs.f_t[..., :-a], inputs.f_t[..., -a:]
         d_vis = inputs.d_t[..., :-a]
         c_vis, c_ang = inputs.cand_feat[..., :-a], inputs.cand_feat[..., -a:]
@@ -175,6 +200,20 @@ class DasaPolicy(nn.Module):
                     input_noise=None, output_noise=None):
         """One decoder step over the (AdaIN'd) pano df_t (stored in the
         d_t slot by apply_adain) and candidates."""
+        if self.cfg.agent_type == "double":
+            half = self.cfg.d_hidden_size
+            (h, c, h1), (hd, cd, h1d), logit, aux = self.decoder(
+                inputs.action_feat, inputs.f_t, inputs.d_t,
+                inputs.cand_feat, inputs.cand_dfeat,
+                state.h1[:, :half], state.c[:, :half],
+                state.h1[:, half:], state.c[:, half:],
+                ctx, ctx_mask, deterministic=deterministic,
+                already_dropfeat=already_dropfeat)
+            packed = DecoderState(
+                h=jnp.concatenate([h, hd], axis=-1),
+                c=jnp.concatenate([c, cd], axis=-1),
+                h1=jnp.concatenate([h1, h1d], axis=-1))
+            return packed, logit, aux
         h, c, logit, h1, aux = self.decoder(
             inputs.action_feat, inputs.d_t, inputs.cand_feat,
             state.h1, state.c, ctx, ctx_mask,
@@ -231,6 +270,10 @@ class DasaPolicy(nn.Module):
             deterministic=deterministic)
         if ctx_v is not None:
             inputs = inputs._replace(d_t=inputs.d_t + ctx_v)
+        if cfg.agent_type == "double":
+            # both decoder streams start from the encoder state
+            h0 = jnp.concatenate([h0, h0], axis=-1)
+            c0 = jnp.concatenate([c0, c0], axis=-1)
         first = is_first.astype(h0.dtype)[:, None]
         state = DecoderState(
             h=first * h0 + (1 - first) * state.h,
@@ -252,6 +295,9 @@ class DasaPolicy(nn.Module):
                                               inputs.f_t)
         if ctx_v is not None:
             inputs = inputs._replace(d_t=inputs.d_t + ctx_v)
+        if self.cfg.agent_type == "double":
+            h0 = jnp.concatenate([h0, h0], axis=-1)
+            c0 = jnp.concatenate([c0, c0], axis=-1)
         state = DecoderState(h0, c0, h0)
         state, logit, aux = self.decode_step(inputs, state, ctx,
                                              ~valid_mask)

@@ -226,3 +226,21 @@ def test_act_replay_rng_equivalence(world, connectivity_dir):
         np.testing.assert_allclose(np.asarray(logits[t]),
                                    act_states[t][1], rtol=1e-4,
                                    atol=1e-5)
+
+
+def test_double_agent_rollout_and_training(world, connectivity_dir):
+    """agent_double wiring: dual RGB+depth decoders with summed logits
+    run through the full act/replay machinery."""
+    cfg = tiny_cfg(encoder_type="Dic", include_vision=True,
+                   agent_type="double", max_action=4, batch_size=2)
+    data_dir, feature_db, depth_db, tok = world
+    env, _ = make_env(world, cfg, "train", connectivity_dir)
+    agent = Seq2SeqAgent(cfg, env, feature_db, depth_db=depth_db,
+                         vocab_size=len(tok))
+    agent.zero_grad()
+    agent.rollout(train_ml=1.0, train_rl=False, feedback="teacher")
+    agent.rollout(train_ml=None, train_rl=True, feedback="sample")
+    agent.optim_step()
+    assert np.isfinite(agent.losses).all()
+    results = agent.test(feedback="argmax")
+    assert len(results) == env.size()
