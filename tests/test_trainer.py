@@ -66,3 +66,18 @@ def test_auglistener_with_back_translation(data_dir, tmp_path):
     agent = trainer.train(cfg)
     assert agent.iter_count >= 1
     assert np.isfinite(agent.losses).all()
+
+
+def test_beam_valid_end_to_end(data_dir, tmp_path):
+    """Dijkstra-search validation through the CLI driver path: score
+    mixing picks a trajectory per item and the evaluator accepts the
+    exploration-prefixed submission."""
+    cfg = tiny_cfg(data_dir, str(tmp_path), name="t_beam", candidates=2,
+                   alpha=0.5, submit=True, batch_size=3, max_action=5)
+    out = trainer.beam_valid(cfg)
+    assert "val_seen" in out and "val_unseen" in out
+    for summary in out.values():
+        assert 0.0 <= summary["success_rate"] <= 1.0
+        assert summary["lengths"] > 0  # exploration prefix counted
+    sub = os.path.join(cfg.log_dir, cfg.name, "submit_val_seen.json")
+    assert os.path.exists(sub)
