@@ -120,6 +120,7 @@ class Seq2SeqAgent:
         self.logs = defaultdict(list)
         self.results: Dict[str, dict] = {}
         self._grad_accum = None
+        self._pending_replays: List[dict] = []
         self._jit_cache: Dict = {}
         self.iter_count = 0
         self.total_env_steps = 0  # (episode, step) pairs processed
@@ -214,143 +215,166 @@ class Seq2SeqAgent:
             self._jit_cache[key] = run
         return self._jit_cache[key]
 
-    def _grad_fn(self, use_noise: bool, n_steps: int):
-        key = ("grad", use_noise, n_steps)
-        if key not in self._jit_cache:
-            cfg = self.cfg
-            policy = self.policy
+    def _make_loss_fn(self, use_noise: bool, n_steps: int):
+        cfg = self.cfg
+        policy = self.policy
 
-            def loss_fn(inner_params, tables, instr, valid, seq_len,
-                        stacked, final_sobs, rewards, rl_masks,
-                        final_ended, base_rng, env_noise, ml_weight,
-                        rl_weight, ent_weight):
-                params = {"params": inner_params}
-                cached = policy.apply(
-                    params, instr, valid, seq_len, deterministic=False,
-                    rngs={"dropout": jax.random.fold_in(base_rng,
-                                                        INIT_SALT)},
-                    method=DasaPolicy.encode_text)
-                batch = instr.shape[0]
-                dec_h = decoder_state_width(cfg)
-                state0 = DecoderState(
-                    h=jnp.zeros((batch, dec_h), self.dtype),
-                    c=jnp.zeros((batch, dec_h), self.dtype),
-                    h1=jnp.zeros((batch, dec_h), self.dtype))
+        def loss_fn(inner_params, tables, instr, valid, seq_len,
+                    stacked, final_sobs, rewards, rl_masks,
+                    final_ended, base_rng, env_noise, ml_weight,
+                    rl_weight, ent_weight):
+            params = {"params": inner_params}
+            cached = policy.apply(
+                params, instr, valid, seq_len, deterministic=False,
+                rngs={"dropout": jax.random.fold_in(base_rng,
+                                                    INIT_SALT)},
+                method=DasaPolicy.encode_text)
+            batch = instr.shape[0]
+            dec_h = decoder_state_width(cfg)
+            state0 = DecoderState(
+                h=jnp.zeros((batch, dec_h), self.dtype),
+                c=jnp.zeros((batch, dec_h), self.dtype),
+                h1=jnp.zeros((batch, dec_h), self.dtype))
 
-                @jax.checkpoint
-                def step(carry, xs):
-                    # remat: recompute the step forward during backward
-                    # instead of keeping 35 steps of BERT activations
-                    # resident (HBM is the constraint, FLOPs are not)
-                    state, t = carry
-                    sobs = xs
-                    inputs = make_step_inputs(cfg, tables, sobs)
-                    step_rng = jax.random.fold_in(base_rng, t)
-                    new_state, logit, value, aux = policy.apply(
-                        params, cached, valid, seq_len, inputs, state,
-                        sobs["is_first"], deterministic=False,
-                        is_test=False,
-                        env_noise=env_noise if use_noise else None,
-                        rngs={"dropout": jax.random.fold_in(step_rng, 0)},
-                        method=DasaPolicy.policy_step)
-                    logit = logit.astype(jnp.float32)
-                    masked = jnp.where(sobs["logit_mask"], NEG_INF, logit)
-                    logp = jax.nn.log_softmax(masked, axis=-1)
-                    p = jnp.exp(logp)
-                    # IL: CE vs teacher, ignoring ended rows
-                    ce = -jnp.take_along_axis(
-                        logp, sobs["teacher"][:, None], axis=1)[:, 0]
-                    ce = jnp.where(sobs["active"], ce, 0.0)
-                    # RL bookkeeping for the taken action
-                    logp_a = jnp.take_along_axis(
-                        logp, sobs["action"][:, None], axis=1)[:, 0]
-                    ent = _entropy(logp, p)
-                    outs = {"ce": ce, "logp_a": logp_a, "ent": ent,
-                            "value": value.astype(jnp.float32)}
-                    if cfg.pred_back:
-                        back = jnp.where(sobs["logit_mask"], NEG_INF,
-                                         aux["back_logit"].astype(
-                                             jnp.float32))
-                        blogp = jax.nn.log_softmax(back, axis=-1)
-                        outs["back_ce"] = -jnp.take_along_axis(
-                            blogp, sobs["back_teacher"][:, None],
-                            axis=1)[:, 0]
-                    return (new_state, t + 1), outs
-
-                (state, _), outs = jax.lax.scan(
-                    step, (state0, jnp.asarray(0, jnp.int32)), stacked)
-
-                ml_loss = outs["ce"].sum()
-                forth_loss = ml_loss
-                if cfg.pred_back:
-                    ml_loss = ml_loss + cfg.back_weight * outs["back_ce"].sum()
-
-                total_loss = ml_weight * ml_loss / batch
-                logs = {"forth_loss": forth_loss,
-                        "ml_loss": ml_loss,
-                        "entropy": outs["ent"].sum()}
-
-                # A2C branch is always traced; rl_weight (0.0 / 1.0)
-                # selects it so teacher and sample passes share ONE
-                # compiled program (each extra variant costs minutes of
-                # XLA compilation on this toolchain)
-                inputs = make_step_inputs(cfg, tables, final_sobs)
-                step_rng = jax.random.fold_in(base_rng, n_steps)
-                _, _, last_value, _ = policy.apply(
+            @jax.checkpoint
+            def step(carry, xs):
+                # remat: recompute the step forward during backward
+                # instead of keeping 35 steps of BERT activations
+                # resident (HBM is the constraint, FLOPs are not)
+                state, t = carry
+                sobs = xs
+                inputs = make_step_inputs(cfg, tables, sobs)
+                step_rng = jax.random.fold_in(base_rng, t)
+                new_state, logit, value, aux = policy.apply(
                     params, cached, valid, seq_len, inputs, state,
-                    final_sobs["is_first"], deterministic=False,
+                    sobs["is_first"], deterministic=False,
                     is_test=False,
                     env_noise=env_noise if use_noise else None,
                     rngs={"dropout": jax.random.fold_in(step_rng, 0)},
                     method=DasaPolicy.policy_step)
-                last_value = jax.lax.stop_gradient(
-                    last_value.astype(jnp.float32))
-                g0 = jnp.where(final_ended, 0.0, last_value)
+                logit = logit.astype(jnp.float32)
+                masked = jnp.where(sobs["logit_mask"], NEG_INF, logit)
+                logp = jax.nn.log_softmax(masked, axis=-1)
+                p = jnp.exp(logp)
+                # IL: CE vs teacher, ignoring ended rows
+                ce = -jnp.take_along_axis(
+                    logp, sobs["teacher"][:, None], axis=1)[:, 0]
+                ce = jnp.where(sobs["active"], ce, 0.0)
+                # RL bookkeeping for the taken action
+                logp_a = jnp.take_along_axis(
+                    logp, sobs["action"][:, None], axis=1)[:, 0]
+                ent = _entropy(logp, p)
+                outs = {"ce": ce, "logp_a": logp_a, "ent": ent,
+                        "value": value.astype(jnp.float32)}
+                if cfg.pred_back:
+                    back = jnp.where(sobs["logit_mask"], NEG_INF,
+                                     aux["back_logit"].astype(
+                                         jnp.float32))
+                    blogp = jax.nn.log_softmax(back, axis=-1)
+                    outs["back_ce"] = -jnp.take_along_axis(
+                        blogp, sobs["back_teacher"][:, None],
+                        axis=1)[:, 0]
+                return (new_state, t + 1), outs
 
-                def rev_step(g, xs):
-                    r, v, logp_a, ent, m = xs
-                    g = g * cfg.gamma + r
-                    adv = jax.lax.stop_gradient(g - v)
-                    pol = (-logp_a * adv * m).sum()
-                    val = 0.5 * (((g - v) ** 2) * m).sum()
-                    step_loss = pol + val + (-ent_weight * ent * m).sum()
-                    return g, (step_loss, val)
+            (state, _), outs = jax.lax.scan(
+                step, (state0, jnp.asarray(0, jnp.int32)), stacked)
 
-                _, (step_losses, critic_losses) = jax.lax.scan(
-                    rev_step, g0,
-                    (rewards, outs["value"], outs["logp_a"],
-                     outs["ent"], rl_masks),
-                    reverse=True)
-                rl_loss = step_losses.sum()
-                total = rl_masks.sum()
-                if cfg.normalize_loss == "total":
-                    rl_loss = rl_loss / jnp.maximum(total, 1.0)
-                elif cfg.normalize_loss == "batch":
-                    rl_loss = rl_loss / batch
-                total_loss = total_loss + rl_weight * rl_loss
-                logs["rl_loss"] = rl_weight * rl_loss
-                logs["critic_loss"] = rl_weight * critic_losses.sum()
-                logs["total"] = total
+            ml_loss = outs["ce"].sum()
+            forth_loss = ml_loss
+            if cfg.pred_back:
+                ml_loss = ml_loss + cfg.back_weight * outs["back_ce"].sum()
 
-                logs["loss"] = total_loss
-                return total_loss, logs
+            total_loss = ml_weight * ml_loss / batch
+            logs = {"forth_loss": forth_loss,
+                    "ml_loss": ml_loss,
+                    "entropy": outs["ent"].sum()}
+
+            # A2C branch is always traced; rl_weight (0.0 / 1.0)
+            # selects it so teacher and sample passes share ONE
+            # compiled program (each extra variant costs minutes of
+            # XLA compilation on this toolchain)
+            inputs = make_step_inputs(cfg, tables, final_sobs)
+            step_rng = jax.random.fold_in(base_rng, n_steps)
+            _, _, last_value, _ = policy.apply(
+                params, cached, valid, seq_len, inputs, state,
+                final_sobs["is_first"], deterministic=False,
+                is_test=False,
+                env_noise=env_noise if use_noise else None,
+                rngs={"dropout": jax.random.fold_in(step_rng, 0)},
+                method=DasaPolicy.policy_step)
+            last_value = jax.lax.stop_gradient(
+                last_value.astype(jnp.float32))
+            g0 = jnp.where(final_ended, 0.0, last_value)
+
+            def rev_step(g, xs):
+                r, v, logp_a, ent, m = xs
+                g = g * cfg.gamma + r
+                adv = jax.lax.stop_gradient(g - v)
+                pol = (-logp_a * adv * m).sum()
+                val = 0.5 * (((g - v) ** 2) * m).sum()
+                step_loss = pol + val + (-ent_weight * ent * m).sum()
+                return g, (step_loss, val)
+
+            _, (step_losses, critic_losses) = jax.lax.scan(
+                rev_step, g0,
+                (rewards, outs["value"], outs["logp_a"],
+                 outs["ent"], rl_masks),
+                reverse=True)
+            rl_loss = step_losses.sum()
+            total = rl_masks.sum()
+            if cfg.normalize_loss == "total":
+                rl_loss = rl_loss / jnp.maximum(total, 1.0)
+            elif cfg.normalize_loss == "batch":
+                rl_loss = rl_loss / batch
+            total_loss = total_loss + rl_weight * rl_loss
+            logs["rl_loss"] = rl_weight * rl_loss
+            logs["critic_loss"] = rl_weight * critic_losses.sum()
+            logs["total"] = total
+
+            logs["loss"] = total_loss
+            return total_loss, logs
+
+        return loss_fn
+
+    def _grad_fn(self, use_noise: bool, n_steps: int):
+        key = ("grad", use_noise, n_steps)
+        if key not in self._jit_cache:
+            loss_fn = self._make_loss_fn(use_noise, n_steps)
 
             @jax.jit
-            def run(params, tables, instr, valid, seq_len, stacked,
-                    final_sobs, rewards, rl_masks, final_ended, base_rng,
-                    env_noise, ml_weight, rl_weight, ent_weight):
+            def run(params, tables, *args):
                 (loss, logs), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(
-                    params["params"], tables, instr, valid, seq_len,
-                    stacked, final_sobs, rewards, rl_masks, final_ended,
-                    base_rng, env_noise, ml_weight, rl_weight,
-                    ent_weight)
+                    loss_fn, has_aux=True)(params["params"], tables,
+                                           *args)
                 return grads, logs
 
-            def wrapper(params, *a):
-                return run(params, *a)
+            self._jit_cache[key] = run
+        return self._jit_cache[key]
 
-            self._jit_cache[key] = wrapper
+    def _grad_pair_fn(self, use_noise: bool, n_steps: int):
+        """Two independent replays (teacher-ML pass + sampled-RL pass)
+        fused into ONE program via vmap over a leading slice axis: one
+        dispatch, one backward, and XLA batches the paired matmuls.
+        Exactness is preserved — vmap keeps each slice's shapes and PRNG
+        keys identical to the separate programs."""
+        key = ("gradpair", use_noise, n_steps)
+        if key not in self._jit_cache:
+            loss_fn = self._make_loss_fn(use_noise, n_steps)
+
+            @jax.jit
+            def run(params, tables, *args):
+                def total(inner):
+                    losses, logs = jax.vmap(
+                        loss_fn,
+                        in_axes=(None, None) + (0,) * len(args))(
+                        inner, tables, *args)
+                    return losses.sum(), logs
+
+                (loss, logs), grads = jax.value_and_grad(
+                    total, has_aux=True)(params["params"])
+                return grads, logs
+
+            self._jit_cache[key] = run
         return self._jit_cache[key]
 
     def _apply_fn(self):
@@ -403,18 +427,28 @@ class Seq2SeqAgent:
                 "action": jnp.zeros(shape, jnp.int32),
             }
 
+        def args_for(t):
+            return (instr, valid, seq_len, dummy_sobs(t), dummy_sobs(),
+                    jnp.zeros((t, b), jnp.float32),
+                    jnp.zeros((t, b), jnp.float32),
+                    jnp.ones((b,), bool), self._base_rng, env_noise,
+                    jnp.asarray(0.0, jnp.float32),
+                    jnp.asarray(0.0, jnp.float32),
+                    jnp.asarray(0.0, jnp.float32))
+
         for t in buckets:
-            fn = self._grad_fn(use_noise, t)
-            grads, logs = fn(
-                self.params, self.tables, instr, valid, seq_len,
-                dummy_sobs(t), dummy_sobs(),
-                jnp.zeros((t, b), jnp.float32),
-                jnp.zeros((t, b), jnp.float32),
-                jnp.ones((b,), bool), self._base_rng, env_noise,
-                jnp.asarray(0.0, jnp.float32),
-                jnp.asarray(0.0, jnp.float32),
-                jnp.asarray(0.0, jnp.float32))
+            grads, logs = self._grad_fn(use_noise, t)(
+                self.params, self.tables, *args_for(t))
             jax.block_until_ready(logs["loss"])
+        # the steady-state program: paired teacher+sample replay at the
+        # short bucket
+        t = min(8, self.episode_len)
+        pair_args = tuple(
+            jax.tree_util.tree_map(lambda x: jnp.stack([x, x]), a)
+            for a in args_for(t))
+        grads, logs = self._grad_pair_fn(use_noise, t)(
+            self.params, self.tables, *pair_args)
+        jax.block_until_ready(logs["loss"])
 
     # ------------------------------------------------------------------
     # rollout
@@ -445,7 +479,8 @@ class Seq2SeqAgent:
 
     def rollout(self, train_ml: Optional[float] = None,
                 train_rl: bool = True, reset: bool = True,
-                speaker=None, feedback: Optional[str] = None):
+                speaker=None, feedback: Optional[str] = None,
+                defer_grad: bool = False):
         """One episode batch.  In train mode (train_ml/train_rl set),
         accumulates gradients into self._grad_accum; always returns the
         trajectories (reference contract: agent_dg.py:633-1033)."""
@@ -568,32 +603,27 @@ class Seq2SeqAgent:
                 rewards.append(np.zeros(batch_size, np.float32))
                 rl_masks.append(np.zeros(batch_size, np.float32))
             stacked = {
-                k: jnp.asarray(np.stack([r[k] for r in records]))
+                k: np.stack([r[k] for r in records])
                 for k in records[0]
             }
             final_sobs = self._to_sobs(obs, ended, None, False)
-            final_sobs = {k: jnp.asarray(v) for k, v in final_sobs.items()}
-            grads, logs = self._grad_fn(use_noise, n_steps)(
-                self.params, self.tables, instr, valid, seq_len, stacked,
-                final_sobs, jnp.asarray(np.stack(rewards)),
-                jnp.asarray(np.stack(rl_masks)), jnp.asarray(ended),
-                base_rng, env_noise,
-                jnp.asarray(train_ml if train_ml is not None else 0.0,
-                            jnp.float32),
-                jnp.asarray(1.0 if train_rl else 0.0, jnp.float32),
-                jnp.asarray(0.01 if (train_rl and feedback == "sample")
-                            else 0.0, jnp.float32))
-            if self._grad_accum is None:
-                self._grad_accum = grads
+            replay = {
+                "use_noise": use_noise,
+                "n_steps": n_steps,
+                "args": (instr, valid, seq_len, stacked, final_sobs,
+                         np.stack(rewards), np.stack(rl_masks), ended,
+                         base_rng, env_noise,
+                         np.float32(train_ml if train_ml is not None
+                                    else 0.0),
+                         np.float32(1.0 if train_rl else 0.0),
+                         np.float32(0.01 if (train_rl
+                                             and feedback == "sample")
+                                    else 0.0)),
+            }
+            if defer_grad:
+                self._pending_replays.append(replay)
             else:
-                self._grad_accum = jax.tree_util.tree_map(
-                    jnp.add, self._grad_accum, grads)
-            # keep logs as device scalars: forcing them here would sync
-            # and serialize the (async) replay against the next rollout's
-            # act phase; LazyLogs materializes on read
-            for k, v in logs.items():
-                self.logs[k].append(v)
-            self.losses.append(logs["loss"])
+                self._run_replays([replay])
 
         return [{"instr_id": iid, "path": tr}
                 for iid, tr in zip(instr_ids, trajs)]
@@ -603,11 +633,61 @@ class Seq2SeqAgent:
         speaker-generated ones (vl_rollout, agent_dg.py:656-675)."""
         return speaker.relabel_batch(env, env_noise, base_rng)
 
+    def _run_replays(self, replays: List[dict]) -> None:
+        """Dispatch replay grads; two compatible replays (same length
+        bucket/noise mode) fuse into one vmapped program."""
+        while replays:
+            a = replays.pop(0)
+            paired = None
+            for i, b in enumerate(replays):
+                if (b["n_steps"] == a["n_steps"]
+                        and b["use_noise"] == a["use_noise"]):
+                    paired = replays.pop(i)
+                    break
+            if paired is not None:
+                args = tuple(
+                    jax.tree_util.tree_map(
+                        lambda x, y: jnp.stack(
+                            [jnp.asarray(x), jnp.asarray(y)]), xa, ya)
+                    for xa, ya in zip(a["args"], paired["args"]))
+                grads, logs = self._grad_pair_fn(
+                    a["use_noise"], a["n_steps"])(
+                    self.params, self.tables, *args)
+                log_slices = [
+                    jax.tree_util.tree_map(lambda x: x[i], logs)
+                    for i in range(2)]
+            else:
+                args = tuple(
+                    jax.tree_util.tree_map(jnp.asarray, xa)
+                    for xa in a["args"])
+                grads, logs = self._grad_fn(a["use_noise"],
+                                            a["n_steps"])(
+                    self.params, self.tables, *args)
+                log_slices = [logs]
+            if self._grad_accum is None:
+                self._grad_accum = grads
+            else:
+                self._grad_accum = jax.tree_util.tree_map(
+                    jnp.add, self._grad_accum, grads)
+            # keep logs as device scalars: forcing them here would sync
+            # and serialize the (async) replay against the next
+            # rollout's act phase
+            for logs_i in log_slices:
+                for k, v in logs_i.items():
+                    self.logs[k].append(v)
+                self.losses.append(logs_i["loss"])
+
+    def flush_replays(self) -> None:
+        if self._pending_replays:
+            pending, self._pending_replays = self._pending_replays, []
+            self._run_replays(pending)
+
     # ------------------------------------------------------------------
     # training drivers (reference: agent_dg.py:1327-1464)
     # ------------------------------------------------------------------
     def zero_grad(self):
         self._grad_accum = None
+        self._pending_replays = []
         self.losses = []
 
     def accumulate_gradient(self, feedback: str = "teacher",
@@ -626,14 +706,16 @@ class Seq2SeqAgent:
         elif feedback == "sample":
             self.feedback = "teacher"
             self.rollout(train_ml=ml_weight, train_rl=False,
-                         feedback="teacher", **kwargs)
+                         feedback="teacher", defer_grad=True, **kwargs)
             self.feedback = "sample"
             self.rollout(train_ml=None, train_rl=True, feedback="sample",
-                         **kwargs)
+                         defer_grad=True, **kwargs)
+            self.flush_replays()
         else:
             raise ValueError(feedback)
 
     def optim_step(self):
+        self.flush_replays()
         if self._grad_accum is None:
             return
         self.params, self.opt_state = self._apply_fn()(
