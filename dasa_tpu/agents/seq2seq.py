@@ -392,7 +392,7 @@ class Seq2SeqAgent:
 
     def precompile_replay(self, batch_size: int,
                           feedbacks=("teacher", "sample"),
-                          buckets=None) -> None:
+                          buckets=None, pairs: bool = False) -> None:
         """Trace+compile every replay-grad variant up front (one-time;
         the persistent compile cache makes later processes instant).
         Without this, a new episode-length bucket pays minutes of XLA
@@ -440,15 +440,14 @@ class Seq2SeqAgent:
             grads, logs = self._grad_fn(use_noise, t)(
                 self.params, self.tables, *args_for(t))
             jax.block_until_ready(logs["loss"])
-        # the steady-state program: paired teacher+sample replay at the
-        # short bucket
-        t = min(8, self.episode_len)
-        pair_args = tuple(
-            jax.tree_util.tree_map(lambda x: jnp.stack([x, x]), a)
-            for a in args_for(t))
-        grads, logs = self._grad_pair_fn(use_noise, t)(
-            self.params, self.tables, *pair_args)
-        jax.block_until_ready(logs["loss"])
+        if pairs:
+            t = min(8, self.episode_len)
+            pair_args = tuple(
+                jax.tree_util.tree_map(lambda x: jnp.stack([x, x]), a)
+                for a in args_for(t))
+            grads, logs = self._grad_pair_fn(use_noise, t)(
+                self.params, self.tables, *pair_args)
+            jax.block_until_ready(logs["loss"])
 
     # ------------------------------------------------------------------
     # rollout
@@ -704,12 +703,16 @@ class Seq2SeqAgent:
             self.rollout(train_ml=cfg.teacher_weight, train_rl=False,
                          feedback="teacher", **kwargs)
         elif feedback == "sample":
+            # separate dispatches: the vmapped pair program measured 3x
+            # slower on v5e (remat-scan under vmap lowers poorly); pass
+            # defer_pairs=True to accumulate_gradient to re-enable it
+            defer = kwargs.pop("defer_pairs", False)
             self.feedback = "teacher"
             self.rollout(train_ml=ml_weight, train_rl=False,
-                         feedback="teacher", defer_grad=True, **kwargs)
+                         feedback="teacher", defer_grad=defer, **kwargs)
             self.feedback = "sample"
             self.rollout(train_ml=None, train_rl=True, feedback="sample",
-                         defer_grad=True, **kwargs)
+                         defer_grad=defer, **kwargs)
             self.flush_replays()
         else:
             raise ValueError(feedback)
