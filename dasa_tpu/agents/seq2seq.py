@@ -236,11 +236,7 @@ class Seq2SeqAgent:
                 c=jnp.zeros((batch, dec_h), self.dtype),
                 h1=jnp.zeros((batch, dec_h), self.dtype))
 
-            @jax.checkpoint
             def step(carry, xs):
-                # remat: recompute the step forward during backward
-                # instead of keeping 35 steps of BERT activations
-                # resident (HBM is the constraint, FLOPs are not)
                 state, t = carry
                 sobs = xs
                 inputs = make_step_inputs(cfg, tables, sobs)
@@ -276,8 +272,12 @@ class Seq2SeqAgent:
                         axis=1)[:, 0]
                 return (new_state, t + 1), outs
 
+            # remat long replays only: recomputing the step forward
+            # during backward keeps 35 steps of BERT activations out of
+            # HBM; short buckets fit and skip the +1/3 forward FLOPs
+            step_fn = jax.checkpoint(step) if n_steps > 16 else step
             (state, _), outs = jax.lax.scan(
-                step, (state0, jnp.asarray(0, jnp.int32)), stacked)
+                step_fn, (state0, jnp.asarray(0, jnp.int32)), stacked)
 
             ml_loss = outs["ce"].sum()
             forth_loss = ml_loss
