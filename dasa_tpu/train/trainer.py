@@ -382,10 +382,16 @@ def valid(cfg: Config, world: Optional[World] = None) -> Dict[str, dict]:
             continue
         agent.env = env
         results = agent.test(feedback="argmax")
-        summary, _ = world.evaluators[env_name].score(results)
+        if env_name == "test":
+            # the test split has no ground-truth goals: submission only
+            # (reference train.py:417-421 / beam_valid test handling)
+            summary = {}
+        else:
+            summary, _ = world.evaluators[env_name].score(results)
+            print("Env name: %s, %s" % (env_name, ", ".join(
+                "%s: %.4f" % (m, v) for m, v in summary.items())),
+                flush=True)
         out[env_name] = summary
-        print("Env name: %s, %s" % (env_name, ", ".join(
-            "%s: %.4f" % (m, v) for m, v in summary.items())), flush=True)
         if cfg.submit:
             path = os.path.join(cfg.log_dir, cfg.name,
                                 f"submit_{env_name}.json")

@@ -81,3 +81,16 @@ def test_beam_valid_end_to_end(data_dir, tmp_path):
         assert summary["lengths"] > 0  # exploration prefix counted
     sub = os.path.join(cfg.log_dir, cfg.name, "submit_val_seen.json")
     assert os.path.exists(sub)
+
+
+def test_speaker_trainer_mode(data_dir, tmp_path):
+    cfg = tiny_cfg(data_dir, str(tmp_path), name="t_speaker", iters=4,
+                   log_every=2, val_every=4, save_every=4)
+    speaker = trainer.train_speaker(cfg)
+    ckpt = os.path.join(cfg.snap_dir, cfg.name, "state_dict",
+                        "LAST_iter4")
+    assert os.path.exists(ckpt)
+    vcfg = cfg.replace(load=ckpt)
+    out = trainer.valid_speaker(vcfg)
+    assert "val_seen" in out
+    assert 0.0 <= out["val_seen"]["bleu"] <= 1.0
