@@ -244,3 +244,27 @@ def test_double_agent_rollout_and_training(world, connectivity_dir):
     assert np.isfinite(agent.losses).all()
     results = agent.test(feedback="argmax")
     assert len(results) == env.size()
+
+
+def test_paired_replay_matches_separate(world, connectivity_dir):
+    """defer_pairs=True fuses the two replay grads into one vmapped
+    program; the accumulated gradients must match the separate-dispatch
+    path exactly (same rollouts via the same rng stream)."""
+    import jax
+
+    cfg = tiny_cfg(max_action=4, batch_size=2)
+    data_dir, feature_db, depth_db, tok = world
+
+    def grads_with(defer):
+        env, _ = make_env(world, cfg, "train", connectivity_dir)
+        agent = Seq2SeqAgent(cfg, env, feature_db, vocab_size=len(tok))
+        agent.zero_grad()
+        agent.accumulate_gradient("sample", defer_pairs=defer)
+        agent.flush_replays()
+        return jax.tree_util.tree_leaves(agent._grad_accum)
+
+    g_sep = grads_with(False)
+    g_pair = grads_with(True)
+    for a, b in zip(g_sep, g_pair):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
