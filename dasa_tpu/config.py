@@ -143,6 +143,7 @@ class Config:
     # Depth-guided AdaIN (param.py:171-178)
     depth_index_file: str = "data/viewpointIds.npy"
     depth_value_file: str = "data/ResNet-152-imagenet-depth.npy"
+    decoder_type: str = "default"  # default | dyrelu (param.py:175)
     adain_type: str = "none"       # none|default|channel|coco_channel|meanchannel|
                                    # rgb_channel|rgb_meanchannel|rgb_stat_channel|depth_stat_channel
     ab_type: str = "ab"            # ab | a | b

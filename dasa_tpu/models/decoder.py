@@ -73,6 +73,9 @@ class BAttnDecoderLSTM(nn.Module):
     shift_kernel_size: int = 3
     pred_back: bool = False
     back_input: str = "pre"     # pre | cur
+    use_dyrelu: bool = False    # agent_dyrelu: language-conditioned
+                                # DyReLU on candidate features
+                                # (model.py:1713-1817)
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
 
@@ -80,6 +83,11 @@ class BAttnDecoderLSTM(nn.Module):
         self.embedding = nn.Dense(self.embedding_size, dtype=self.dtype)
         self.lstm = LstmCell(self.hidden_size, self.dtype)
         self.drop = nn.Dropout(self.dropout_ratio)
+        if self.use_dyrelu:
+            from dasa_tpu.models.variants import lang_dyrelu_c
+
+            visual = self.feature_size - self.angle_feat_size
+            self.dyrelu1 = lang_dyrelu_c(visual, dtype=self.dtype)
         if self.use_shift:
             self.feat_att_layer = ShiftSoftDotAttention(
                 self.hidden_size, self.feature_size, self.shift_kernel_size,
@@ -140,6 +148,16 @@ class BAttnDecoderLSTM(nn.Module):
             cand_feat = drop_visual(
                 cand_feat, self.angle_feat_size, self.featdropout,
                 self.make_rng("dropout"), deterministic)
+
+        if self.use_dyrelu:
+            # candidate visual features pass through a DyReLU whose
+            # piecewise-linear coefficients come from the max-pooled
+            # panorama (model.py:1793-1802)
+            a = self.angle_feat_size
+            max_feat = jnp.max(feature[..., :-a], axis=1)
+            cand_view = self.dyrelu1(cand_feat[..., :-a], max_feat)
+            cand_feat = jnp.concatenate(
+                [cand_view, cand_feat[..., -a:]], axis=-1)
 
         _, logit = self.candidate_att_layer(h_tilde_drop, cand_feat,
                                             output_tilde=False,

@@ -116,6 +116,7 @@ class DasaPolicy(nn.Module):
                     ctx_dim=ctx_dim, use_shift=cfg.use_shift,
                     shift_kernel_size=cfg.shift_kernel_size,
                     pred_back=cfg.pred_back, back_input=cfg.back_input,
+                    use_dyrelu=cfg.decoder_type == "dyrelu",
                     dtype=self.dtype, use_pallas=use_pallas)
             dec_hidden = cfg.d_hidden_size
         self.critic = Critic(cfg.critic_dim, cfg.dropout, self.dtype)

@@ -268,3 +268,18 @@ def test_paired_replay_matches_separate(world, connectivity_dir):
     for a, b in zip(g_sep, g_pair):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=1e-6)
+
+
+def test_dyrelu_decoder_agent(world, connectivity_dir):
+    """agent_dyrelu wiring: language-conditioned DyReLU on candidate
+    features through a training step."""
+    cfg = tiny_cfg(encoder_type="Dic", include_vision=True,
+                   decoder_type="dyrelu", max_action=4, batch_size=2)
+    data_dir, feature_db, depth_db, tok = world
+    env, _ = make_env(world, cfg, "train", connectivity_dir)
+    agent = Seq2SeqAgent(cfg, env, feature_db, vocab_size=len(tok))
+    assert "dyrelu1" in agent.params["params"]["decoder"]
+    agent.zero_grad()
+    agent.accumulate_gradient("sample")
+    agent.optim_step()
+    assert np.isfinite(agent.losses).all()
