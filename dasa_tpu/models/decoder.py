@@ -81,7 +81,9 @@ class BAttnDecoderLSTM(nn.Module):
 
     def setup(self):
         self.embedding = nn.Dense(self.embedding_size, dtype=self.dtype)
-        self.lstm = LstmCell(self.hidden_size, self.dtype)
+        self.lstm = LstmCell(self.hidden_size,
+                             self.embedding_size + self.feature_size,
+                             self.dtype)
         self.drop = nn.Dropout(self.dropout_ratio)
         if self.use_dyrelu:
             from dasa_tpu.models.variants import lang_dyrelu_c
@@ -186,7 +188,9 @@ class AttnDecoderLSTM(nn.Module):
 
     def setup(self):
         self.embedding = nn.Dense(self.embedding_size, dtype=self.dtype)
-        self.lstm = LstmCell(self.hidden_size, self.dtype)
+        self.lstm = LstmCell(self.hidden_size,
+                             self.embedding_size + self.feature_size,
+                             self.dtype)
         self.drop = nn.Dropout(self.dropout_ratio)
         self.feat_att_layer = SoftDotAttention(
             self.hidden_size, self.feature_size, self.dtype)

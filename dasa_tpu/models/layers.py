@@ -33,29 +33,47 @@ NEG_INF = -1e9  # softmax mask value (finite to keep grads NaN-free)
 class LstmCell(nn.Module):
     """LSTM cell with torch gate order (i, f, g, o) and uniform
     +-1/sqrt(H) init, so training dynamics and (later) checkpoint import
-    match the reference's nn.LSTMCell."""
+    match the reference's nn.LSTMCell.
+
+    `input_proj` exposes the input->gates matmul separately so sequence
+    LSTMs can hoist it out of the token scan: one (B*T, in)x(in, 4H)
+    MXU-shaped matmul instead of T tiny ones, leaving only the
+    hidden->hidden recurrence sequential."""
 
     features: int
+    in_features: int
     dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, carry: Tuple[jnp.ndarray, jnp.ndarray],
-                 x: jnp.ndarray):
-        h, c = carry
+    def setup(self):
         hidden = self.features
         k = 1.0 / math.sqrt(hidden)
-        wi = self.param("wi", _uniform_symmetric(k), (x.shape[-1], 4 * hidden))
-        wh = self.param("wh", _uniform_symmetric(k), (hidden, 4 * hidden))
-        b = self.param("b", _uniform_symmetric(k), (4 * hidden,))
+        self.wi = self.param("wi", _uniform_symmetric(k),
+                             (self.in_features, 4 * hidden))
+        self.wh = self.param("wh", _uniform_symmetric(k),
+                             (hidden, 4 * hidden))
+        self.b = self.param("b", _uniform_symmetric(k), (4 * hidden,))
+
+    def input_proj(self, x: jnp.ndarray) -> jnp.ndarray:
+        """(..., in) -> (..., 4H) pre-activation from the input alone."""
+        return x.astype(self.dtype) @ self.wi.astype(self.dtype)
+
+    def step(self, carry: Tuple[jnp.ndarray, jnp.ndarray],
+             xw: jnp.ndarray):
+        """One recurrence step from a precomputed input projection."""
+        h, c = carry
         gates = (
-            x.astype(self.dtype) @ wi.astype(self.dtype)
-            + h.astype(self.dtype) @ wh.astype(self.dtype)
-            + b.astype(self.dtype)
+            xw
+            + h.astype(self.dtype) @ self.wh.astype(self.dtype)
+            + self.b.astype(self.dtype)
         )
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         new_c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
         new_h = jax.nn.sigmoid(o) * jnp.tanh(new_c)
         return (new_h, new_c), new_h
+
+    def __call__(self, carry: Tuple[jnp.ndarray, jnp.ndarray],
+                 x: jnp.ndarray):
+        return self.step(carry, self.input_proj(x))
 
 
 class LSTM(nn.Module):
@@ -81,11 +99,14 @@ class LSTM(nn.Module):
             x = jnp.flip(x, axis=1)
             mask = jnp.flip(mask, axis=1)
 
-        cell = LstmCell(self.features, self.dtype)
+        cell = LstmCell(self.features, x.shape[-1], self.dtype)
+        # hoisted input projection: ONE (B, T, in) x (in, 4H) matmul
+        # feeds the MXU; the scan keeps only the hidden recurrence
+        xw = cell.input_proj(x)
 
         def step(cell, carry, xs):
-            x_t, m_t = xs
-            new_carry, y = cell(carry, x_t)
+            xw_t, m_t = xs
+            new_carry, y = cell.step(carry, xw_t)
             m = m_t[:, None].astype(y.dtype)
             carry = jax.tree_util.tree_map(
                 lambda new, old: m * new + (1 - m) * old, new_carry, carry)
@@ -98,7 +119,7 @@ class LSTM(nn.Module):
             in_axes=1,
             out_axes=1,
         )
-        carry, ys = scan(cell, init_carry, (x.astype(self.dtype), mask))
+        carry, ys = scan(cell, init_carry, (xw, mask))
         if self.reverse:
             ys = jnp.flip(ys, axis=1)
         return ys, carry

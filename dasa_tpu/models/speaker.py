@@ -77,7 +77,8 @@ class SpeakerDecoder(nn.Module):
     def setup(self):
         self.embedding = nn.Embed(self.vocab_size, self.embedding_size,
                                   dtype=self.dtype)
-        self.lstm = LstmCell(self.hidden_size, self.dtype)
+        self.lstm = LstmCell(self.hidden_size, self.embedding_size,
+                             self.dtype)
         self.attention_layer = SoftDotAttention(
             self.hidden_size, self.hidden_size, self.dtype)
         self.projection = nn.Dense(self.vocab_size, dtype=self.dtype)
