@@ -24,6 +24,7 @@ few KB of int32/float32 per batch.
 
 from __future__ import annotations
 
+import functools
 import os
 import pickle
 from collections import defaultdict
@@ -191,14 +192,22 @@ class Seq2SeqAgent:
                     t, base_rng, env_noise):
                 inputs = make_step_inputs(cfg, tables, sobs)
                 step_rng = jax.random.fold_in(base_rng, t)
-                rngs = ({"dropout": jax.random.fold_in(step_rng, 0)}
-                        if train else None)
-                new_state, logit, value, _aux = self.policy.apply(
-                    params, cached, valid, seq_len, inputs, state,
-                    sobs["is_first"],
+                # split rng streams (percept=0 / decode=1) so the replay
+                # can vmap percepts over time with identical noise
+                p_rngs = ({"dropout": jax.random.fold_in(step_rng, 0)}
+                          if train else None)
+                d_rngs = ({"dropout": jax.random.fold_in(step_rng, 1)}
+                          if train else None)
+                ctx, h0, c0, pinputs = self.policy.apply(
+                    params, cached, valid, seq_len, inputs,
                     deterministic=not train, is_test=not train,
                     env_noise=env_noise if use_noise else None,
-                    rngs=rngs, method=DasaPolicy.policy_step)
+                    rngs=p_rngs, method=DasaPolicy.percept_step)
+                new_state, logit, value, _aux = self.policy.apply(
+                    params, ctx, valid, h0, c0, pinputs, state,
+                    sobs["is_first"], deterministic=not train,
+                    already_dropfeat=use_noise,
+                    rngs=d_rngs, method=DasaPolicy.decode_from_percept)
                 logit = logit.astype(jnp.float32)
                 masked = jnp.where(sobs["logit_mask"], NEG_INF, logit)
                 if feedback == "teacher":
@@ -236,18 +245,44 @@ class Seq2SeqAgent:
                 c=jnp.zeros((batch, dec_h), self.dtype),
                 h1=jnp.zeros((batch, dec_h), self.dtype))
 
-            def step(carry, xs):
-                state, t = carry
-                sobs = xs
-                inputs = make_step_inputs(cfg, tables, sobs)
+            # ---- percepts: the state-independent encoder work of ALL
+            # steps (incl. the A2C bootstrap step) runs as ONE vmapped
+            # pass — (T+1)xB-wide matmuls on the MXU instead of per-step
+            # B-wide ones.  vmap is semantics-preserving, so per-step
+            # dropout masks are bit-identical to the act phase.
+            all_sobs = jax.tree_util.tree_map(
+                lambda s, f: jnp.concatenate([s, f[None]], axis=0),
+                stacked, final_sobs)
+            steps_ax = jnp.arange(n_steps + 1, dtype=jnp.int32)
+
+            def percept_one(sobs_t, t):
+                inputs = make_step_inputs(cfg, tables, sobs_t)
                 step_rng = jax.random.fold_in(base_rng, t)
-                new_state, logit, value, aux = policy.apply(
-                    params, cached, valid, seq_len, inputs, state,
-                    sobs["is_first"], deterministic=False,
-                    is_test=False,
+                return policy.apply(
+                    params, cached, valid, seq_len, inputs,
+                    deterministic=False, is_test=False,
                     env_noise=env_noise if use_noise else None,
                     rngs={"dropout": jax.random.fold_in(step_rng, 0)},
-                    method=DasaPolicy.policy_step)
+                    method=DasaPolicy.percept_step)
+
+            # remat long replays only: recomputing percepts during
+            # backward keeps 35 steps of encoder activations out of HBM;
+            # short buckets fit and skip the recompute FLOPs
+            if n_steps > 16:
+                percept_one = jax.checkpoint(percept_one)
+            percepts = jax.vmap(percept_one)(all_sobs, steps_ax)
+
+            def step(carry, xs):
+                state, t = carry
+                (ctx_t, h0_t, c0_t, pinputs_t), sobs = xs
+                d_rng = jax.random.fold_in(
+                    jax.random.fold_in(base_rng, t), 1)
+                new_state, logit, value, aux = policy.apply(
+                    params, ctx_t, valid, h0_t, c0_t, pinputs_t, state,
+                    sobs["is_first"], deterministic=False,
+                    already_dropfeat=use_noise,
+                    rngs={"dropout": d_rng},
+                    method=DasaPolicy.decode_from_percept)
                 logit = logit.astype(jnp.float32)
                 masked = jnp.where(sobs["logit_mask"], NEG_INF, logit)
                 logp = jax.nn.log_softmax(masked, axis=-1)
@@ -272,12 +307,10 @@ class Seq2SeqAgent:
                         axis=1)[:, 0]
                 return (new_state, t + 1), outs
 
-            # remat long replays only: recomputing the step forward
-            # during backward keeps 35 steps of BERT activations out of
-            # HBM; short buckets fit and skip the +1/3 forward FLOPs
-            step_fn = jax.checkpoint(step) if n_steps > 16 else step
+            head = jax.tree_util.tree_map(lambda x: x[:n_steps], percepts)
             (state, _), outs = jax.lax.scan(
-                step_fn, (state0, jnp.asarray(0, jnp.int32)), stacked)
+                step, (state0, jnp.asarray(0, jnp.int32)),
+                (head, stacked))
 
             ml_loss = outs["ce"].sum()
             forth_loss = ml_loss
@@ -293,15 +326,16 @@ class Seq2SeqAgent:
             # selects it so teacher and sample passes share ONE
             # compiled program (each extra variant costs minutes of
             # XLA compilation on this toolchain)
-            inputs = make_step_inputs(cfg, tables, final_sobs)
-            step_rng = jax.random.fold_in(base_rng, n_steps)
+            ctx_f, h0_f, c0_f, pin_f = jax.tree_util.tree_map(
+                lambda x: x[n_steps], percepts)
+            d_rng_f = jax.random.fold_in(
+                jax.random.fold_in(base_rng, n_steps), 1)
             _, _, last_value, _ = policy.apply(
-                params, cached, valid, seq_len, inputs, state,
+                params, ctx_f, valid, h0_f, c0_f, pin_f, state,
                 final_sobs["is_first"], deterministic=False,
-                is_test=False,
-                env_noise=env_noise if use_noise else None,
-                rngs={"dropout": jax.random.fold_in(step_rng, 0)},
-                method=DasaPolicy.policy_step)
+                already_dropfeat=use_noise,
+                rngs={"dropout": d_rng_f},
+                method=DasaPolicy.decode_from_percept)
             last_value = jax.lax.stop_gradient(
                 last_value.astype(jnp.float32))
             g0 = jnp.where(final_ended, 0.0, last_value)
@@ -380,7 +414,9 @@ class Seq2SeqAgent:
     def _apply_fn(self):
         if "apply" not in self._jit_cache:
 
-            @jax.jit
+            # donation: params/opt_state/grads buffers are dead after
+            # the update, so XLA updates in place (no ~1 GB of copies)
+            @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
             def run(params, opt_state, grads):
                 updates, opt_state = self.tx.update(
                     grads, opt_state, params["params"])
@@ -389,6 +425,16 @@ class Seq2SeqAgent:
 
             self._jit_cache["apply"] = run
         return self._jit_cache["apply"]
+
+    def _tree_add_fn(self):
+        if "tree_add" not in self._jit_cache:
+
+            @functools.partial(jax.jit, donate_argnums=(0,))
+            def run(a, b):
+                return jax.tree_util.tree_map(jnp.add, a, b)
+
+            self._jit_cache["tree_add"] = run
+        return self._jit_cache["tree_add"]
 
     def precompile_replay(self, batch_size: int,
                           feedbacks=("teacher", "sample"),
@@ -666,8 +712,10 @@ class Seq2SeqAgent:
             if self._grad_accum is None:
                 self._grad_accum = grads
             else:
-                self._grad_accum = jax.tree_util.tree_map(
-                    jnp.add, self._grad_accum, grads)
+                # one fused donated program instead of one dispatch per
+                # parameter leaf
+                self._grad_accum = self._tree_add_fn()(
+                    self._grad_accum, grads)
             # keep logs as device scalars: forcing them here would sync
             # and serialize the (async) replay against the next
             # rollout's act phase

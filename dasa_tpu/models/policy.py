@@ -244,17 +244,18 @@ class DasaPolicy(nn.Module):
         return StepInputs(inputs.action_feat, f_t, d_t, cand, cand_d,
                           inputs.cand_mask)
 
-    def policy_step(self, cached: Dict[str, jnp.ndarray], valid_mask,
-                    seq_len, inputs: StepInputs, state: DecoderState,
-                    is_first, *, deterministic: bool = True,
-                    is_test: bool = True, env_noise=None,
-                    input_noise=None, output_noise=None):
-        """The complete per-step forward (vl_rollout body,
-        agent_dg.py:725-830): env-drop -> AdaIN -> encoder -> decoder.
+    def percept_step(self, cached: Dict[str, jnp.ndarray], valid_mask,
+                     seq_len, inputs: StepInputs, *,
+                     deterministic: bool = True, is_test: bool = True,
+                     env_noise=None):
+        """The decoder-state-INDEPENDENT part of one rollout step:
+        env-drop -> AdaIN -> cross-modal encoder (vl_rollout,
+        agent_dg.py:725-797).  Because nothing here depends on the
+        decoder state, the training replay runs this batched over ALL
+        episode steps at once (vmapped over T) and only the small
+        decoder recurrence stays sequential.
 
-        `is_first` is a (B,)-broadcastable bool/float selecting the
-        encoder-provided initial decoder state at t=0.  Returns
-        (new_state, logit, value, aux)."""
+        Returns (ctx, h0, c0, processed_inputs)."""
         cfg = self.cfg
         consistent = env_noise is not None
         if consistent and cfg.env_drop_stage == "before_adain":
@@ -275,6 +276,16 @@ class DasaPolicy(nn.Module):
             # both decoder streams start from the encoder state
             h0 = jnp.concatenate([h0, h0], axis=-1)
             c0 = jnp.concatenate([c0, c0], axis=-1)
+        return ctx, h0, c0, inputs
+
+    def decode_from_percept(self, ctx, valid_mask, h0, c0,
+                            inputs: StepInputs, state: DecoderState,
+                            is_first, *, deterministic: bool = True,
+                            already_dropfeat: bool = False,
+                            input_noise=None, output_noise=None):
+        """The decoder-state-DEPENDENT tail of one rollout step: state
+        select at t=0, decoder LSTM step, candidate logits, critic
+        (vl_rollout, agent_dg.py:798-830)."""
         first = is_first.astype(h0.dtype)[:, None]
         state = DecoderState(
             h=first * h0 + (1 - first) * state.h,
@@ -283,10 +294,31 @@ class DasaPolicy(nn.Module):
         )
         state, logit, aux = self.decode_step(
             inputs, state, ctx, ~valid_mask, deterministic=deterministic,
-            already_dropfeat=consistent, input_noise=input_noise,
+            already_dropfeat=already_dropfeat, input_noise=input_noise,
             output_noise=output_noise)
         value = self.critic(state.h, deterministic=deterministic)
         return state, logit, value, aux
+
+    def policy_step(self, cached: Dict[str, jnp.ndarray], valid_mask,
+                    seq_len, inputs: StepInputs, state: DecoderState,
+                    is_first, *, deterministic: bool = True,
+                    is_test: bool = True, env_noise=None,
+                    input_noise=None, output_noise=None):
+        """The complete per-step forward (vl_rollout body,
+        agent_dg.py:725-830): percept_step + decode_from_percept under a
+        single rng stream.  Used by eval paths (search, compile checks);
+        the agent's act/replay programs call the two halves as separate
+        applies with split rng streams so the replay can vmap percepts
+        over time while staying bit-identical to acting."""
+        ctx, h0, c0, inputs = self.percept_step(
+            cached, valid_mask, seq_len, inputs,
+            deterministic=deterministic, is_test=is_test,
+            env_noise=env_noise)
+        return self.decode_from_percept(
+            ctx, valid_mask, h0, c0, inputs, state, is_first,
+            deterministic=deterministic,
+            already_dropfeat=env_noise is not None,
+            input_noise=input_noise, output_noise=output_noise)
 
     # ---- init convenience ----
     def __call__(self, instr, valid_mask, seq_len, inputs: StepInputs):

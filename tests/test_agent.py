@@ -185,41 +185,62 @@ def test_act_replay_rng_equivalence(world, connectivity_dir):
         a = np.where(obs.teacher < obs.cand_n, obs.teacher, -1)
         obs = env.step(a)
 
-    # per-step (act-style) forwards
+    # per-step (act-style) forwards: split applies with the percept=0 /
+    # decode=1 rng streams exactly as the agent's _act_fn issues them
+    def act_one(sobs_dev, state, t):
+        inputs = make_step_inputs(cfg, agent.tables, sobs_dev)
+        step_rng = jax.random.fold_in(base_rng, t)
+        ctx, h0, c0, pin = agent.policy.apply(
+            agent.params, cached, valid, seq_len, inputs,
+            deterministic=False, is_test=False, env_noise=env_noise,
+            rngs={"dropout": jax.random.fold_in(step_rng, 0)},
+            method=DasaPolicy.percept_step)
+        return agent.policy.apply(
+            agent.params, ctx, valid, h0, c0, pin, state,
+            sobs_dev["is_first"], deterministic=False,
+            already_dropfeat=True,
+            rngs={"dropout": jax.random.fold_in(step_rng, 1)},
+            method=DasaPolicy.decode_from_percept)
+
     dec_h = cfg.d_hidden_size
     state = DecoderState(*(jnp.zeros((2, dec_h)),) * 3)
     act_states = []
     for t, sobs in enumerate(sobs_list):
         sobs_dev = {k: jnp.asarray(v) for k, v in sobs.items()}
-        inputs = make_step_inputs(cfg, agent.tables, sobs_dev)
-        step_rng = jax.random.fold_in(base_rng, t)
-        state, logit, value, _ = agent.policy.apply(
-            agent.params, cached, valid, seq_len, inputs, state,
-            sobs_dev["is_first"], deterministic=False, is_test=False,
-            env_noise=env_noise,
-            rngs={"dropout": jax.random.fold_in(step_rng, 0)},
-            method=DasaPolicy.policy_step)
+        state, logit, value, _ = act_one(sobs_dev, state, t)
         act_states.append((np.asarray(state.h), np.asarray(logit)))
 
-    # scan-style (replay) forwards with the same derivation
+    # replay-style: vmapped percepts over T + decode scan, exactly as
+    # the agent's loss program computes them
     stacked = {k: jnp.asarray(np.stack([s[k] for s in sobs_list]))
                for k in sobs_list[0]}
 
-    def step(carry, sobs):
-        st, t = carry
-        inputs = make_step_inputs(cfg, agent.tables, sobs)
+    def percept_one(sobs_t, t):
+        inputs = make_step_inputs(cfg, agent.tables, sobs_t)
         step_rng = jax.random.fold_in(base_rng, t)
-        new_state, logit, value, _ = agent.policy.apply(
-            agent.params, cached, valid, seq_len, inputs, st,
-            sobs["is_first"], deterministic=False, is_test=False,
-            env_noise=env_noise,
+        return agent.policy.apply(
+            agent.params, cached, valid, seq_len, inputs,
+            deterministic=False, is_test=False, env_noise=env_noise,
             rngs={"dropout": jax.random.fold_in(step_rng, 0)},
-            method=DasaPolicy.policy_step)
+            method=DasaPolicy.percept_step)
+
+    percepts = jax.vmap(percept_one)(stacked,
+                                     jnp.arange(3, dtype=jnp.int32))
+
+    def step(carry, xs):
+        st, t = carry
+        (ctx_t, h0_t, c0_t, pin_t), sobs = xs
+        d_rng = jax.random.fold_in(jax.random.fold_in(base_rng, t), 1)
+        new_state, logit, value, _ = agent.policy.apply(
+            agent.params, ctx_t, valid, h0_t, c0_t, pin_t, st,
+            sobs["is_first"], deterministic=False,
+            already_dropfeat=True, rngs={"dropout": d_rng},
+            method=DasaPolicy.decode_from_percept)
         return (new_state, t + 1), (new_state.h, logit)
 
     (_, _), (hs, logits) = jax.lax.scan(
-        step, (DasaPolicy and DecoderState(*(jnp.zeros((2, dec_h)),) * 3),
-               jnp.asarray(0, jnp.int32)), stacked)
+        step, (DecoderState(*(jnp.zeros((2, dec_h)),) * 3),
+               jnp.asarray(0, jnp.int32)), (percepts, stacked))
     for t in range(3):
         np.testing.assert_allclose(np.asarray(hs[t]), act_states[t][0],
                                    rtol=1e-5, atol=1e-6)
