@@ -230,8 +230,8 @@ class Seq2SeqAgent:
 
         def loss_fn(inner_params, tables, instr, valid, seq_len,
                     stacked, final_sobs, rewards, rl_masks,
-                    final_ended, base_rng, env_noise, ml_weight,
-                    rl_weight, ent_weight):
+                    final_ended, pm_target, base_rng, env_noise,
+                    ml_weight, rl_weight, ent_weight):
             params = {"params": inner_params}
             cached = policy.apply(
                 params, instr, valid, seq_len, deterministic=False,
@@ -305,6 +305,15 @@ class Seq2SeqAgent:
                     outs["back_ce"] = -jnp.take_along_axis(
                         blogp, sobs["back_teacher"][:, None],
                         axis=1)[:, 0]
+                if cfg.pred_pm:
+                    # progress-monitor MSE vs the episode-start progress
+                    # (the reference captures `progresses` once before
+                    # the step loop — agent_dg.py:683, 864-866 — and the
+                    # per-step loss is unmasked over rows); padded steps
+                    # (all-ended) are excluded like the reference's break
+                    pm = aux["pm_score"].astype(jnp.float32)
+                    real = sobs["active"].any().astype(jnp.float32)
+                    outs["pm_mse"] = jnp.mean((pm - pm_target) ** 2) * real
                 return (new_state, t + 1), outs
 
             head = jax.tree_util.tree_map(lambda x: x[:n_steps], percepts)
@@ -317,10 +326,14 @@ class Seq2SeqAgent:
             if cfg.pred_back:
                 ml_loss = ml_loss + cfg.back_weight * outs["back_ce"].sum()
 
-            total_loss = ml_weight * ml_loss / batch
             logs = {"forth_loss": forth_loss,
-                    "ml_loss": ml_loss,
                     "entropy": outs["ent"].sum()}
+            if cfg.pred_pm:
+                pm_total = cfg.pm_weight * outs["pm_mse"].sum()
+                ml_loss = ml_loss + pm_total
+                logs["pm_loss"] = pm_total
+            total_loss = ml_weight * ml_loss / batch
+            logs["ml_loss"] = ml_loss
 
             # A2C branch is always traced; rl_weight (0.0 / 1.0)
             # selects it so teacher and sample passes share ONE
@@ -477,7 +490,8 @@ class Seq2SeqAgent:
             return (instr, valid, seq_len, dummy_sobs(t), dummy_sobs(),
                     jnp.zeros((t, b), jnp.float32),
                     jnp.zeros((t, b), jnp.float32),
-                    jnp.ones((b,), bool), self._base_rng, env_noise,
+                    jnp.ones((b,), bool), jnp.zeros((b,), jnp.float32),
+                    self._base_rng, env_noise,
                     jnp.asarray(0.0, jnp.float32),
                     jnp.asarray(0.0, jnp.float32),
                     jnp.asarray(0.0, jnp.float32))
@@ -552,6 +566,9 @@ class Seq2SeqAgent:
         instr = jnp.asarray(obs.instr)
         valid = jnp.asarray(~obs.pad_mask)
         seq_len = jnp.asarray(obs.seq_len)
+        # progress-monitor target: the episode-start progress, captured
+        # once like the reference's _sort_batch (agent_dg.py:683)
+        pm_target = obs.progress.astype(np.float32).copy()
         cached = (None if feedback == "teacher" else
                   self._encode_fn(training)(
                       self.params, instr, valid, seq_len, base_rng))
@@ -657,7 +674,7 @@ class Seq2SeqAgent:
                 "n_steps": n_steps,
                 "args": (instr, valid, seq_len, stacked, final_sobs,
                          np.stack(rewards), np.stack(rl_masks), ended,
-                         base_rng, env_noise,
+                         pm_target, base_rng, env_noise,
                          np.float32(train_ml if train_ml is not None
                                     else 0.0),
                          np.float32(1.0 if train_rl else 0.0),

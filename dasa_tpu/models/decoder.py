@@ -76,6 +76,9 @@ class BAttnDecoderLSTM(nn.Module):
     use_dyrelu: bool = False    # agent_dyrelu: language-conditioned
                                 # DyReLU on candidate features
                                 # (model.py:1713-1817)
+    pred_pm: bool = False       # progress-monitor head (model.py:449-458)
+    pm_type: str = "att"        # att | att_hid | plain_att | plain_att_hid
+    max_input: int = 80         # pm attention-width (args.maxInput)
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
 
@@ -104,6 +107,44 @@ class BAttnDecoderLSTM(nn.Module):
         if self.pred_back:
             self.back_candidate_att_layer = SoftDotAttention(
                 self.hidden_size, self.feature_size, self.dtype)
+        if self.pred_pm:
+            # sigmoid progress regressor on the (resampled) instruction
+            # attention, optionally concatenated with the decoder hidden
+            # (model.py:449-458)
+            self.pm_critic = nn.Dense(1, dtype=self.dtype)
+
+    def _pm_score(self, alpha, ctx_mask, h_tilde_drop):
+        """Progress-monitor score (model.py:533-553).  For the "att"
+        family the per-sample valid prefix of the instruction attention
+        is linearly resampled (align_corners) to max_input columns and
+        renormalized; "plain_att" uses the raw padded attention.  Note:
+        the reference's F.mse_loss call broadcasts its (B,1) output
+        against a (B,) target; we return (B,) and the agent computes the
+        intended elementwise MSE."""
+        L = alpha.shape[1]
+        alpha = alpha.astype(self.dtype)
+        if self.pm_type in ("att", "att_hid"):
+            if ctx_mask is None:
+                attw = alpha
+            else:
+                ln = jnp.maximum(
+                    (~ctx_mask).sum(axis=-1), 2).astype(self.dtype)
+                pos = (jnp.arange(L, dtype=self.dtype)[None, :]
+                       * (ln[:, None] - 1.0) / max(L - 1, 1))
+                lo = jnp.floor(pos).astype(jnp.int32)
+                hi = jnp.minimum(lo + 1, L - 1)
+                frac = (pos - lo).astype(self.dtype)
+                a_lo = jnp.take_along_axis(alpha, lo, axis=1)
+                a_hi = jnp.take_along_axis(alpha, hi, axis=1)
+                attw = a_lo * (1.0 - frac) + a_hi * frac
+            attw = attw / (attw.sum(-1, keepdims=True) + 1e-10)
+        else:  # plain_att | plain_att_hid: zero-padded raw attention
+            attw = alpha
+        if L < self.max_input:
+            attw = jnp.pad(attw, ((0, 0), (0, self.max_input - L)))
+        if self.pm_type in ("att_hid", "plain_att_hid"):
+            attw = jnp.concatenate([attw, h_tilde_drop], axis=-1)
+        return jax.nn.sigmoid(self.pm_critic(attw))[:, 0]
 
     def __call__(self, action, feature, cand_feat, prev_h1, c_0, ctx,
                  ctx_mask=None, *, deterministic: bool = True,
@@ -145,6 +186,9 @@ class BAttnDecoderLSTM(nn.Module):
             h_tilde_drop = h_tilde * output_noise
         else:
             h_tilde_drop = drop(h_tilde, "ht")
+
+        if self.pred_pm:
+            aux["pm_score"] = self._pm_score(alpha, ctx_mask, h_tilde_drop)
 
         if not already_dropfeat and not deterministic:
             cand_feat = drop_visual(

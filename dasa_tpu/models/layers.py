@@ -251,6 +251,28 @@ class ShiftSoftDotAttention(nn.Module):
         return weighted, attn_out
 
 
+def scaled_dot_attention(value, key, query, mask=None,
+                         output_prob: bool = True):
+    """Single-head scaled dot-product attention with a (B, D) or
+    (B, Lq, D) query (reference utils.py:627-657).  Returns
+    (attended, attn-or-scores) squeezed back to the query's rank."""
+    squeeze = query.ndim == 2
+    if squeeze:
+        query = query[:, None, :]
+    d_k = query.shape[-1]
+    scores = jnp.einsum("bqd,bkd->bqk", query, key) / math.sqrt(d_k)
+    if mask is not None:
+        scores = jnp.where(mask, NEG_INF, scores)
+    att = jax.nn.softmax(scores, axis=-1)
+    # quirk kept from the reference: with output_prob=False the RAW
+    # scores weight the values too (utils.py:648-652)
+    out_map = att if output_prob else scores
+    result = jnp.einsum("bqk,bkd->bqd", out_map, value)
+    if squeeze:
+        return result[:, 0], out_map[:, 0]
+    return result, out_map
+
+
 class MLP(nn.Module):
     """Linear-ReLU-Linear (agent_dg.py:1550-1562)."""
 

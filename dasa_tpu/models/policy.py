@@ -117,6 +117,8 @@ class DasaPolicy(nn.Module):
                     shift_kernel_size=cfg.shift_kernel_size,
                     pred_back=cfg.pred_back, back_input=cfg.back_input,
                     use_dyrelu=cfg.decoder_type == "dyrelu",
+                    pred_pm=cfg.pred_pm, pm_type=cfg.pm_type,
+                    max_input=cfg.max_input,
                     dtype=self.dtype, use_pallas=use_pallas)
             dec_hidden = cfg.d_hidden_size
         self.critic = Critic(cfg.critic_dim, cfg.dropout, self.dtype)

@@ -1,23 +1,30 @@
-"""Ablation-variant building blocks: language-conditioned DyReLU,
-bilinear fusions, and the dual-decoder.
+"""Ablation-variant building blocks and decoders.
 
 References: r2r_src/dyrelu.py (LangDyReLU{A,B,C}: piecewise-linear
 activations whose slopes/intercepts are predicted from the language
 query), r2r_src/fusion.py (MLB hadamard fusion, Mutan low-rank bilinear
 fusion), model.py:934-968 (DoubleBAttnDecoderLSTM: parallel RGB + depth
-decoders with summed candidate logits).  These power the reference's
-agent_{dyrelu,mutan,double} ablations.
+decoders with summed candidate logits), model.py:578-931 (Advanced /
+KVMem / New / Mutan variant decoders), model.py:1505-1591 (McattDecoder),
+model.py:1609-1707 (MTDecoder).  These power the reference's
+agent_{dyrelu,mutan,double,advanced,kvmem,new,mcatt,mt} ablations
+(train.py:24-46).
 """
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from dasa_tpu.models.decoder import BAttnDecoderLSTM
+from dasa_tpu.models.decoder import BAttnDecoderLSTM, drop_visual
+from dasa_tpu.models.layers import (
+    LstmCell,
+    SoftDotAttention,
+    scaled_dot_attention,
+)
 
 Dtype = Any
 

@@ -291,6 +291,31 @@ def test_paired_replay_matches_separate(world, connectivity_dir):
                                    rtol=2e-4, atol=1e-6)
 
 
+@pytest.mark.parametrize("pm_type", ["att", "plain_att_hid"])
+def test_progress_monitor_head(world, connectivity_dir, pm_type):
+    """pred_pm: the decoder grows a sigmoid progress head fed by the
+    (resampled) instruction attention (model.py:449-458, 533-553); its
+    MSE vs the episode-start progress joins the ML loss
+    (agent_dg.py:683, 864-866, 1015-1017) and training reduces it."""
+    cfg = tiny_cfg(encoder_type="Dic", include_vision=True, pred_pm=True,
+                   pm_type=pm_type, max_action=4, batch_size=2, lr=3e-3)
+    data_dir, feature_db, depth_db, tok = world
+    env, _ = make_env(world, cfg, "train", connectivity_dir)
+    agent = Seq2SeqAgent(cfg, env, feature_db, depth_db=depth_db,
+                         vocab_size=len(tok))
+    assert "pm_critic" in agent.params["params"]["decoder"]
+    pm_losses = []
+    for _ in range(8):
+        agent.zero_grad()
+        agent.rollout(train_ml=1.0, train_rl=False, feedback="teacher")
+        agent.optim_step()
+        pm_losses.append(float(agent.logs["pm_loss"][-1]))
+    assert np.isfinite(pm_losses).all()
+    # episode-start progress is ~0; the sigmoid head starts near 0.5 and
+    # must move toward the target
+    assert pm_losses[-1] < pm_losses[0]
+
+
 def test_dyrelu_decoder_agent(world, connectivity_dir):
     """agent_dyrelu wiring: language-conditioned DyReLU on candidate
     features through a training step."""
