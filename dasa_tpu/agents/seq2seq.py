@@ -78,7 +78,16 @@ def make_step_inputs(cfg: Config, tables, sobs) -> StepInputs:
         d_t, cand_d = f_t, cand
     act_feat = angle_feature(sobs["heading"], sobs["elevation"],
                              cfg.angle_feat_size)
-    return StepInputs(act_feat, f_t, d_t, cand, cand_d, sobs["logit_mask"])
+    # view-token index per candidate slot (STOP slot -> the learned stop
+    # token at index `views`); only the MT decoder consumes this, XLA
+    # DCEs it elsewhere
+    slots = jnp.arange(sobs["cand_point_id"].shape[-1], dtype=jnp.int32)
+    cand_idx = jnp.where(slots >= sobs["cand_n"][..., None],
+                         jnp.int32(cfg.views),
+                         jnp.clip(sobs["cand_point_id"], 0,
+                                  cfg.views - 1)).astype(jnp.int32)
+    return StepInputs(act_feat, f_t, d_t, cand, cand_d,
+                      sobs["logit_mask"], cand_idx)
 
 
 def _entropy(logp, p):
@@ -92,9 +101,10 @@ class Seq2SeqAgent:
                  feature_db: FeatureDB,
                  depth_db: Optional[FeatureDB] = None,
                  vocab_size: int = 0, results_path: Optional[str] = None,
-                 rng_seed: int = 0):
+                 rng_seed: int = 0, mesh=None):
         self.cfg = cfg
         self.env = env
+        self.mesh = mesh  # data-parallel jax.sharding.Mesh (or None)
         self.results_path = results_path
         self.episode_len = cfg.max_action
         self.feedback = cfg.feedback
@@ -114,6 +124,20 @@ class Seq2SeqAgent:
                             if depth_db is not None else None)
         self.angle_table = jnp.asarray(
             all_point_angle_feature(cfg.angle_feat_size), dtype)
+
+        if mesh is not None:
+            # replicate weights/tables once; episode batches are sharded
+            # over the mesh's data axis at dispatch and GSPMD inserts the
+            # gradient all-reduce inside the replay backward (replacing
+            # the reference's DataParallel/DDP — tasks/R2R/parallel.py)
+            from dasa_tpu.parallel import replicate
+
+            self.params = replicate(self.params, mesh)
+            self.opt_state = replicate(self.opt_state, mesh)
+            self.feat_table = replicate(self.feat_table, mesh)
+            if self.dfeat_table is not None:
+                self.dfeat_table = replicate(self.dfeat_table, mesh)
+            self.angle_table = replicate(self.angle_table, mesh)
 
         self._base_rng = jax.random.PRNGKey(cfg.seed + rng_seed)
         self._rollout_counter = 0
@@ -138,6 +162,7 @@ class Seq2SeqAgent:
             cand_feat=jnp.zeros((b, k, F), self.dtype),
             cand_dfeat=jnp.zeros((b, k, F), self.dtype),
             cand_mask=jnp.zeros((b, k), bool),
+            cand_idx=jnp.zeros((b, k), jnp.int32),
         )
         instr = jnp.zeros((b, L), jnp.int32)
         valid = jnp.ones((b, L), bool)
@@ -148,6 +173,38 @@ class Seq2SeqAgent:
     @property
     def tables(self):
         return (self.feat_table, self.dfeat_table, self.angle_table)
+
+    # ------------------------------------------------------------------
+    # device placement (data-parallel sharding when a mesh is set)
+    # ------------------------------------------------------------------
+    def _put_batch(self, tree, axis: int = 0):
+        """Move host arrays to device; with a mesh, shard dim `axis`
+        (the episode-batch dim) over the data axis."""
+        if self.mesh is None:
+            return jax.tree_util.tree_map(jnp.asarray, tree)
+        from dasa_tpu.parallel import shard_batch
+
+        return shard_batch(tree, self.mesh, axis=axis)
+
+    def _put_replicated(self, tree):
+        if self.mesh is None:
+            return jax.tree_util.tree_map(jnp.asarray, tree)
+        from dasa_tpu.parallel import replicate
+
+        return replicate(jax.tree_util.tree_map(jnp.asarray, tree),
+                         self.mesh)
+
+    def _put_replay_args(self, args):
+        """Shard one replay's argument tuple: (B, ...) leaves over axis
+        0, (T, B, ...) stacks over axis 1, rng/noise/weights replicated."""
+        (instr, valid, seq_len, stacked, final_sobs, rewards, rl_masks,
+         ended, pm_target, base_rng, env_noise, mlw, rlw, entw) = args
+        put, rep = self._put_batch, self._put_replicated
+        stack = lambda t: self._put_batch(t, axis=1)  # noqa: E731
+        return (put(instr), put(valid), put(seq_len), stack(stacked),
+                put(final_sobs), stack(rewards), stack(rl_masks),
+                put(ended), put(pm_target), rep(base_rng),
+                rep(env_noise), rep(mlw), rep(rlw), rep(entw))
 
     # ------------------------------------------------------------------
     # jitted programs
@@ -198,13 +255,13 @@ class Seq2SeqAgent:
                           if train else None)
                 d_rngs = ({"dropout": jax.random.fold_in(step_rng, 1)}
                           if train else None)
-                ctx, h0, c0, pinputs = self.policy.apply(
+                percept = self.policy.apply(
                     params, cached, valid, seq_len, inputs,
                     deterministic=not train, is_test=not train,
                     env_noise=env_noise if use_noise else None,
                     rngs=p_rngs, method=DasaPolicy.percept_step)
                 new_state, logit, value, _aux = self.policy.apply(
-                    params, ctx, valid, h0, c0, pinputs, state,
+                    params, percept, valid, state,
                     sobs["is_first"], deterministic=not train,
                     already_dropfeat=use_noise,
                     rngs=d_rngs, method=DasaPolicy.decode_from_percept)
@@ -274,11 +331,11 @@ class Seq2SeqAgent:
 
             def step(carry, xs):
                 state, t = carry
-                (ctx_t, h0_t, c0_t, pinputs_t), sobs = xs
+                percept_t, sobs = xs
                 d_rng = jax.random.fold_in(
                     jax.random.fold_in(base_rng, t), 1)
                 new_state, logit, value, aux = policy.apply(
-                    params, ctx_t, valid, h0_t, c0_t, pinputs_t, state,
+                    params, percept_t, valid, state,
                     sobs["is_first"], deterministic=False,
                     already_dropfeat=use_noise,
                     rngs={"dropout": d_rng},
@@ -314,6 +371,13 @@ class Seq2SeqAgent:
                     pm = aux["pm_score"].astype(jnp.float32)
                     real = sobs["active"].any().astype(jnp.float32)
                     outs["pm_mse"] = jnp.mean((pm - pm_target) ** 2) * real
+                if cfg.agent_type == "advanced":
+                    # agent_advanced's unconditional progress head
+                    # (agent_advanced.py:563-565)
+                    pp = aux["pred_progress"].astype(jnp.float32)
+                    real = sobs["active"].any().astype(jnp.float32)
+                    outs["adv_pm_mse"] = (jnp.mean((pp - pm_target) ** 2)
+                                          * real)
                 return (new_state, t + 1), outs
 
             head = jax.tree_util.tree_map(lambda x: x[:n_steps], percepts)
@@ -332,6 +396,11 @@ class Seq2SeqAgent:
                 pm_total = cfg.pm_weight * outs["pm_mse"].sum()
                 ml_loss = ml_loss + pm_total
                 logs["pm_loss"] = pm_total
+            if cfg.agent_type == "advanced":
+                adv_pm = outs["adv_pm_mse"].sum()
+                # fixed x10 weight (agent_advanced.py:564); logged raw
+                ml_loss = ml_loss + 10.0 * adv_pm
+                logs["pm_loss"] = adv_pm
             total_loss = ml_weight * ml_loss / batch
             logs["ml_loss"] = ml_loss
 
@@ -339,12 +408,12 @@ class Seq2SeqAgent:
             # selects it so teacher and sample passes share ONE
             # compiled program (each extra variant costs minutes of
             # XLA compilation on this toolchain)
-            ctx_f, h0_f, c0_f, pin_f = jax.tree_util.tree_map(
+            percept_f = jax.tree_util.tree_map(
                 lambda x: x[n_steps], percepts)
             d_rng_f = jax.random.fold_in(
                 jax.random.fold_in(base_rng, n_steps), 1)
             _, _, last_value, _ = policy.apply(
-                params, ctx_f, valid, h0_f, c0_f, pin_f, state,
+                params, percept_f, valid, state,
                 final_sobs["is_first"], deterministic=False,
                 already_dropfeat=use_noise,
                 rngs={"dropout": d_rng_f},
@@ -498,7 +567,8 @@ class Seq2SeqAgent:
 
         for t in buckets:
             grads, logs = self._grad_fn(use_noise, t)(
-                self.params, self.tables, *args_for(t))
+                self.params, self.tables,
+                *self._put_replay_args(args_for(t)))
             jax.block_until_ready(logs["loss"])
         if pairs:
             t = min(8, self.episode_len)
@@ -559,13 +629,15 @@ class Seq2SeqAgent:
         use_noise = cfg.consistent_drop or (speaker is not None)
         env_noise = self._noise_fn()(base_rng) if use_noise else jnp.ones(
             (cfg.feature_size,), self.dtype)
+        if self.mesh is not None:
+            env_noise = self._put_replicated(env_noise)
 
         if speaker is not None:
             obs = self._back_translate(speaker, env, env_noise, base_rng)
 
-        instr = jnp.asarray(obs.instr)
-        valid = jnp.asarray(~obs.pad_mask)
-        seq_len = jnp.asarray(obs.seq_len)
+        instr = self._put_batch(obs.instr)
+        valid = self._put_batch(~obs.pad_mask)
+        seq_len = self._put_batch(obs.seq_len)
         # progress-monitor target: the episode-start progress, captured
         # once like the reference's _sort_batch (agent_dg.py:683)
         pm_target = obs.progress.astype(np.float32).copy()
@@ -583,10 +655,12 @@ class Seq2SeqAgent:
                    if cfg.submit else None)
 
         dec_h = decoder_state_width(cfg)
-        state = DecoderState(
-            h=jnp.zeros((batch_size, dec_h), self.dtype),
-            c=jnp.zeros((batch_size, dec_h), self.dtype),
-            h1=jnp.zeros((batch_size, dec_h), self.dtype))
+        state = self._put_batch(DecoderState(
+            h=np.zeros((batch_size, dec_h), np.float32),
+            c=np.zeros((batch_size, dec_h), np.float32),
+            h1=np.zeros((batch_size, dec_h), np.float32)))
+        state = jax.tree_util.tree_map(
+            lambda x: x.astype(self.dtype), state)
         # teacher-forced rollouts are fully determined by the env's
         # shortest-path teacher: the policy forward only matters in the
         # replay, so the act loop needs zero device round-trips
@@ -611,7 +685,7 @@ class Seq2SeqAgent:
             if teacher_only:
                 a = sobs["teacher"]
             else:
-                sobs_dev = {k: jnp.asarray(v) for k, v in sobs.items()}
+                sobs_dev = self._put_batch(sobs)
                 state, action = act(self.params, self.tables, cached,
                                     valid, seq_len, state, sobs_dev, t,
                                     base_rng, env_noise)
@@ -701,11 +775,12 @@ class Seq2SeqAgent:
         while replays:
             a = replays.pop(0)
             paired = None
-            for i, b in enumerate(replays):
-                if (b["n_steps"] == a["n_steps"]
-                        and b["use_noise"] == a["use_noise"]):
-                    paired = replays.pop(i)
-                    break
+            if self.mesh is None:  # pair-fusion is a single-device path
+                for i, b in enumerate(replays):
+                    if (b["n_steps"] == a["n_steps"]
+                            and b["use_noise"] == a["use_noise"]):
+                        paired = replays.pop(i)
+                        break
             if paired is not None:
                 args = tuple(
                     jax.tree_util.tree_map(
@@ -719,9 +794,7 @@ class Seq2SeqAgent:
                     jax.tree_util.tree_map(lambda x: x[i], logs)
                     for i in range(2)]
             else:
-                args = tuple(
-                    jax.tree_util.tree_map(jnp.asarray, xa)
-                    for xa in a["args"])
+                args = self._put_replay_args(a["args"])
                 grads, logs = self._grad_fn(a["use_noise"],
                                             a["n_steps"])(
                     self.params, self.tables, *args)
@@ -835,20 +908,91 @@ class Seq2SeqAgent:
 
     # ------------------------------------------------------------------
     def save(self, epoch: int, path: str):
+        """Component-keyed msgpack checkpoint (encoder/decoder/critic/
+        adain sub-trees addressable individually), replacing the
+        monolithic flax-bytes pickle.  Reference format: per-component
+        state dicts (agent_dg.py:1466-1487)."""
+        from dasa_tpu.parallel.distributed import is_primary
+
+        if not is_primary():  # rank-0-only checkpoints (DDP parity:
+            return            # nav_dic_pretrain.py:868-888)
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        state = serialization.to_state_dict(self.params)
         blob = {
             "epoch": epoch,
-            "params": serialization.to_bytes(self.params),
-            "opt_state": serialization.to_bytes(self.opt_state),
+            "params": jax.tree_util.tree_map(np.asarray, state["params"]),
+            "opt_state": jax.tree_util.tree_map(
+                np.asarray, serialization.to_state_dict(self.opt_state)),
         }
         with open(path, "wb") as f:
-            pickle.dump(blob, f)
+            f.write(serialization.msgpack_serialize(blob))
+
+    @staticmethod
+    def _flatten(tree, prefix=()):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out.update(Seq2SeqAgent._flatten(v, prefix + (k,)))
+            else:
+                out[prefix + (k,)] = v
+        return out
 
     def load(self, path: str) -> int:
+        """Mismatch-tolerant load: every current parameter leaf whose
+        path+shape matches the checkpoint is restored; missing/extra/
+        reshaped leaves keep their init values with a NOTICE, matching
+        the reference's tolerant per-component recover_state
+        (agent_dg.py:1489-1510)."""
         with open(path, "rb") as f:
-            blob = pickle.load(f)
-        self.params = serialization.from_bytes(self.params, blob["params"])
-        if self.cfg.load_optim:
-            self.opt_state = serialization.from_bytes(
-                self.opt_state, blob["opt_state"])
-        return blob["epoch"]
+            raw = f.read()
+        try:
+            blob = serialization.msgpack_restore(raw)
+        except Exception:
+            # round-1 legacy format: pickled flax-bytes blob
+            blob = pickle.loads(raw)
+            self.params = serialization.from_bytes(self.params,
+                                                   blob["params"])
+            if self.cfg.load_optim:
+                self.opt_state = serialization.from_bytes(
+                    self.opt_state, blob["opt_state"])
+            return blob["epoch"]
+
+        cur_state = serialization.to_state_dict(self.params)
+        flat_cur = self._flatten(cur_state["params"])
+        flat_new = self._flatten(blob["params"])
+        merged = {}
+        skipped = []
+        for key, val in flat_cur.items():
+            cand = flat_new.get(key)
+            if cand is not None and np.shape(cand) == np.shape(val):
+                merged[key] = cand
+            else:
+                merged[key] = val
+                skipped.append("/".join(key))
+        unused = [k for k in flat_new if k not in flat_cur]
+        if skipped or unused:
+            print("NOTICE: DIFFERENT KEYS IN THE LISTENER "
+                  f"(kept init for {len(skipped)}: {skipped[:5]}...; "
+                  f"ignored {len(unused)} checkpoint-only keys)",
+                  flush=True)
+        nested: dict = {}
+        for key, val in merged.items():
+            node = nested
+            for part in key[:-1]:
+                node = node.setdefault(part, {})
+            node[key[-1]] = val
+        self.params = serialization.from_state_dict(
+            self.params, {**cur_state, "params": nested})
+        if self.cfg.load_optim and blob.get("opt_state") is not None:
+            try:
+                self.opt_state = serialization.from_state_dict(
+                    self.opt_state, blob["opt_state"])
+            except Exception as e:  # optimizer shape drift: keep fresh
+                print(f"NOTICE: optimizer state not restored ({e})",
+                      flush=True)
+        if self.mesh is not None:
+            from dasa_tpu.parallel import replicate
+
+            self.params = replicate(self.params, self.mesh)
+            self.opt_state = replicate(self.opt_state, self.mesh)
+        return int(blob["epoch"])

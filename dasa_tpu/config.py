@@ -162,11 +162,22 @@ class Config:
     # Contextualized view (param.py:195)
     ctx_v: bool = False
 
+    # MCAN / agent_mcatt dims (param.py:159, 233-244)
+    mcan_hidden_size: int = 768   # HIDDEN_SIZE (== FLAT_OUT_SIZE)
+    mcan_heads: int = 8           # MULTI_HEAD
+    mcan_layers: int = 2          # --layer
+    mcan_flat_mlp_size: int = 512  # FLAT_MLP_SIZE
+
     # NDH / CVDN (reference: r2r_src/ndhtrain.py:374-434)
     path_type: str = "trusted_path"  # planner_path | player_path | trusted_path
     history: str = "all"             # none|target|oracle_ans|nav_q_oracle_ans|all
 
     # ---- dasa_tpu-specific ----
+    # Data-parallel listener training: build a ('data','model') mesh over
+    # the available devices and shard episode batches over `data`
+    # (replaces tasks/R2R/parallel.py:24-119 + NCCL DDP).
+    data_parallel: bool = False
+    n_data: Optional[int] = None   # data-axis size; None => all devices
     seed: int = 10
     views: int = 36                # panorama views (12 headings x 3 elevations)
     max_candidates: int = 16       # fixed candidate padding incl. STOP slot

@@ -61,6 +61,54 @@ class EncoderLSTM(nn.Module):
         return ctx, decoder_init, c_t
 
 
+class BertTextEncoderLSTM(nn.Module):
+    """B/CEncoderLSTM (reference model.py:88-247): text-only BERT
+    embeddings (optionally frozen via stop_gradient, matching .detach())
+    feed a biLSTM; the C variant first projects the BERT width down to
+    the word-embedding size (model.py:186, 221).  Same output contract
+    as EncoderLSTM — (ctx, decoder_init, c_t) — so it slots into the
+    plain rollout path and is fully cacheable per episode (no vision
+    input)."""
+
+    bert_config: BertConfig
+    hidden_size: int          # per-direction LSTM width
+    dropout_ratio: float
+    project_dim: Optional[int] = None   # C variant: BERT -> project_dim
+    bidirectional: bool = True
+    sub_out: str = "tanh"
+    zero_init: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs, valid_mask, *, deterministic: bool = True):
+        bert = DicModel(self.bert_config, self.dtype, name="bert")
+        x = bert.text_forward(inputs, valid_mask.astype(jnp.int32),
+                              deterministic=deterministic)
+        if self.project_dim is not None:
+            x = nn.Dense(self.project_dim, dtype=self.dtype,
+                         name="linear_in")(x)
+        x = nn.Dropout(self.dropout_ratio)(x, deterministic=deterministic)
+        if self.bidirectional:
+            ctx, (h_t, c_t) = BiLSTM(self.hidden_size, self.dtype,
+                                     name="lstm")(x, valid_mask)
+        else:
+            from dasa_tpu.models.layers import LSTM
+            ctx, (h_t, c_t) = LSTM(self.hidden_size, dtype=self.dtype,
+                                   name="lstm")(x, valid_mask)
+        out_dim = h_t.shape[-1]
+        e2d = nn.Dense(out_dim, dtype=self.dtype, name="encoder2decoder")
+        if self.sub_out == "max":
+            ctx_max = jnp.where(valid_mask[..., None], ctx, -jnp.inf).max(1)
+            decoder_init = jnp.tanh(e2d(ctx_max))
+        else:
+            decoder_init = jnp.tanh(e2d(h_t))
+        ctx = nn.Dropout(self.dropout_ratio)(ctx,
+                                             deterministic=deterministic)
+        if self.zero_init:
+            return ctx, jnp.zeros_like(decoder_init), jnp.zeros_like(c_t)
+        return ctx, decoder_init, c_t
+
+
 def reverse_valid_tokens(embeds, valid_mask, seq_len):
     """Reverse each row's first seq_len tokens in place, zeroing pads —
     the reference's masked scatter reversal (r2rmodel.py:2326-2330)."""
@@ -115,7 +163,8 @@ class DicEncoder(nn.Module):
     def __call__(self, text_embeds, valid_mask, seq_len, f_t_all=None, *,
                  deterministic: bool = True):
         """text_embeds: output of text_forward (B, L, H_bert).
-        Returns (ctx, decoder_init, c_t, ctx_v)."""
+        Returns (ctx, decoder_init, c_t, ctx_v, visn) — visn is the raw
+        vision-token stream (B, 36, H_bert) consumed by the MT decoder."""
         embeds, pooled, visn = self.bert.cross_forward(
             text_embeds, valid_mask.astype(jnp.int32), f_t_all,
             deterministic=deterministic)
@@ -137,4 +186,4 @@ class DicEncoder(nn.Module):
         ctx_v = None
         if self.ctx_v and visn is not None:
             ctx_v = self.ctx_v_to_v(visn)
-        return ctx, decoder_init, c_t, ctx_v
+        return ctx, decoder_init, c_t, ctx_v, visn

@@ -174,7 +174,12 @@ class McattEncoder(nn.Module):
     """Instruction x panorama co-attention encoder (model.py:1340-1462):
     embed + biLSTM the tokens, project the 36-view features, run the
     SGA-SGA backbone, AttFlat the text, and attend the vision stream
-    with the flattened text query."""
+    with the flattened text query.
+
+    Split into `text_forward` (embed + biLSTM, vision-independent and
+    cacheable per episode) and `cross_forward` (co-attention backbone,
+    re-run per step since the panorama changes), mirroring the DicModel
+    split."""
 
     vocab_size: int
     word_embed_size: int
@@ -188,32 +193,46 @@ class McattEncoder(nn.Module):
     dropout: float = 0.1
     dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, seq, pad_mask, f_t_all, *, deterministic=True):
-        """seq (B, L) ids; pad_mask (B, L) True at PAD; f_t_all
-        (B, 36, F).  Returns (seq_feat, attended_txt, v_feat,
-        attended_v)."""
+    def setup(self):
+        self.embedding = nn.Embed(self.vocab_size, self.word_embed_size,
+                                  dtype=self.dtype)
+        self.lstm = BiLSTM(self.hidden_size // 2, self.dtype)
+        self.img_feat_linear = nn.Dense(self.hidden_size, dtype=self.dtype)
+        self.backbone = MCASGASGA(self.hidden_size, self.n_head,
+                                  self.ff_size, self.n_layers,
+                                  self.dropout, self.dtype)
+        self.attflat_lang = AttFlat(self.hidden_size, self.flat_mlp_size,
+                                    self.flat_out_size,
+                                    dropout=self.dropout, dtype=self.dtype)
+
+    def text_forward(self, seq, pad_mask, *, deterministic=True):
+        """Vision-independent token stream (B, L, H)."""
+        x = self.embedding(seq)
+        x, _ = self.lstm(x, ~pad_mask)
+        return x
+
+    def cross_forward(self, x, pad_mask, f_t_all, *, deterministic=True):
+        """Co-attention over (token stream, panorama).  Returns
+        (seq_feat, attended_txt, v_feat, attended_v)."""
         b, v_num = f_t_all.shape[0], f_t_all.shape[1]
         seq_mask = pad_mask[:, None, None, :]
         v_mask = jnp.zeros((b, 1, 1, v_num), bool)
-
-        x = nn.Embed(self.vocab_size, self.word_embed_size,
-                     dtype=self.dtype, name="embedding")(seq)
-        x, _ = BiLSTM(self.hidden_size // 2, self.dtype,
-                      name="lstm")(x, ~pad_mask)
-        v = nn.Dense(self.hidden_size, dtype=self.dtype,
-                     name="img_feat_linear")(f_t_all.astype(self.dtype))
-        x, v = MCASGASGA(self.hidden_size, self.n_head, self.ff_size,
-                         self.n_layers, self.dropout, self.dtype,
-                         name="backbone")(
-            x, v, seq_mask, v_mask, deterministic=deterministic)
-        attended_txt = AttFlat(self.hidden_size, self.flat_mlp_size,
-                               self.flat_out_size, dropout=self.dropout,
-                               dtype=self.dtype, name="attflat_lang")(
-            x, seq_mask, deterministic=deterministic)
+        v = self.img_feat_linear(f_t_all.astype(self.dtype))
+        x, v = self.backbone(x, v, seq_mask, v_mask,
+                             deterministic=deterministic)
+        attended_txt = self.attflat_lang(x, seq_mask,
+                                         deterministic=deterministic)
         # single-head dot attention of the flat text query over vision
         d_k = attended_txt.shape[-1]
         scores = jnp.einsum("bd,bvd->bv", attended_txt, v) / math.sqrt(d_k)
         att = jax.nn.softmax(scores, axis=-1)
         attended_v = jnp.einsum("bv,bvd->bd", att, v)
         return x, attended_txt, v, attended_v
+
+    def __call__(self, seq, pad_mask, f_t_all, *, deterministic=True):
+        """seq (B, L) ids; pad_mask (B, L) True at PAD; f_t_all
+        (B, 36, F).  Returns (seq_feat, attended_txt, v_feat,
+        attended_v)."""
+        x = self.text_forward(seq, pad_mask, deterministic=deterministic)
+        return self.cross_forward(x, pad_mask, f_t_all,
+                                  deterministic=deterministic)

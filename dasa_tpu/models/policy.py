@@ -23,7 +23,15 @@ from dasa_tpu.config import Config
 from dasa_tpu.models.adain import adaptive_instance_normalization, make_adain
 from dasa_tpu.models.bert import BertConfig
 from dasa_tpu.models.decoder import AttnDecoderLSTM, BAttnDecoderLSTM, Critic
-from dasa_tpu.models.encoder import DicEncoder, EncoderLSTM
+from dasa_tpu.models.encoder import (
+    BertTextEncoderLSTM,
+    DicEncoder,
+    EncoderLSTM,
+)
+
+# encoders with no per-step vision input: the whole encoder runs once
+# per episode and the decoder is the plain AttnDecoderLSTM
+PLAIN_ENCODERS = ("EncoderLSTM", "BEncoder", "CEncoder")
 
 
 class StepInputs(NamedTuple):
@@ -35,6 +43,8 @@ class StepInputs(NamedTuple):
     cand_feat: jnp.ndarray     # (B, K, F)
     cand_dfeat: jnp.ndarray    # (B, K, F)
     cand_mask: jnp.ndarray     # (B, K) True = masked (pad beyond STOP)
+    cand_idx: Optional[jnp.ndarray] = None  # (B, K) view-token index per
+                               # candidate (STOP slot = views); MT decoder
 
 
 class DecoderState(NamedTuple):
@@ -45,9 +55,12 @@ class DecoderState(NamedTuple):
 
 def decoder_state_width(cfg: Config) -> int:
     """Width of the DecoderState arrays: the double agent carries two
-    decoder streams packed side by side."""
-    base = (cfg.d_hidden_size if cfg.encoder_type != "EncoderLSTM"
-            else cfg.rnn_dim)
+    decoder streams packed side by side; mcatt runs at the MCAN hidden
+    width (param.py:235)."""
+    if cfg.agent_type == "mcatt":
+        return cfg.mcan_hidden_size
+    base = (cfg.rnn_dim if cfg.encoder_type in PLAIN_ENCODERS
+            else cfg.d_hidden_size)
     return base * (2 if cfg.agent_type == "double" else 1)
 
 
@@ -88,6 +101,44 @@ class DasaPolicy(nn.Module):
                 feature_all, cfg.angle_feat_size, ctx_dim=cfg.rnn_dim,
                 dtype=self.dtype)
             dec_hidden = cfg.rnn_dim
+        elif cfg.encoder_type in ("BEncoder", "CEncoder"):
+            # B/CEncoderLSTM (model.py:88-247): text-BERT -> biLSTM,
+            # plain decoder path; update_bert gates the BERT freeze
+            import dataclasses as _dc
+
+            enc_hidden = cfg.rnn_dim // 2 if cfg.bidir else cfg.rnn_dim
+            bcfg = _dc.replace(bert_config_from(cfg),
+                               update_lang_bert=cfg.update_bert)
+            self.encoder = BertTextEncoderLSTM(
+                bcfg, enc_hidden, cfg.dropout,
+                project_dim=(cfg.wemb if cfg.encoder_type == "CEncoder"
+                             else None),
+                bidirectional=cfg.bidir, sub_out=cfg.sub_out,
+                zero_init=cfg.zero_init, dtype=self.dtype)
+            self.decoder = AttnDecoderLSTM(
+                cfg.aemb, cfg.rnn_dim, cfg.dropout, cfg.featdropout,
+                feature_all, cfg.angle_feat_size, ctx_dim=cfg.rnn_dim,
+                dtype=self.dtype)
+            dec_hidden = cfg.rnn_dim
+        elif cfg.agent_type == "mcatt":
+            # agent_mcatt: MCAN co-attention encoder + plain decoder at
+            # the MCAN hidden width (agent_mcatt.py:125-131,
+            # param.py:233-244)
+            from dasa_tpu.models.mcan import McattEncoder
+            from dasa_tpu.models.variants import McattDecoder
+
+            mh = cfg.mcan_hidden_size
+            self.encoder = McattEncoder(
+                vocab_size=self.vocab_size, word_embed_size=cfg.wemb,
+                hidden_size=mh, n_head=cfg.mcan_heads, ff_size=4 * mh,
+                n_layers=cfg.mcan_layers, img_feat_size=feature_all,
+                flat_mlp_size=cfg.mcan_flat_mlp_size, flat_out_size=mh,
+                dtype=self.dtype)
+            self.decoder = McattDecoder(
+                cfg.aemb, mh, cfg.dropout, cfg.featdropout, feature_all,
+                cfg.angle_feat_size, ctx_dim=mh,
+                max_input=cfg.max_input, dtype=self.dtype)
+            dec_hidden = mh
         else:  # Dic cross-modal path
             self.encoder = DicEncoder(
                 bert_config_from(cfg), cfg.d_enc_hidden_size,
@@ -98,28 +149,48 @@ class DasaPolicy(nn.Module):
             num_dir = 2 if cfg.d_bidirectional else 1
             ctx_dim = (cfg.d_enc_hidden_size * num_dir if cfg.d_top_lstm
                        else (1024 if cfg.d_bert_type == "large" else 768))
-            if cfg.agent_type == "double":
+            kw = dict(embedding_size=cfg.aemb,
+                      hidden_size=cfg.d_hidden_size,
+                      dropout_ratio=cfg.dropout,
+                      featdropout=cfg.featdropout,
+                      feature_size=feature_all,
+                      angle_feat_size=cfg.angle_feat_size,
+                      ctx_dim=ctx_dim, dtype=self.dtype)
+            agent = cfg.agent_type
+            if agent == "double":
                 # dual RGB+depth decoders with summed candidate logits
                 # (reference agent_double, model.py:934-968)
                 from dasa_tpu.models.variants import (
                     DoubleBAttnDecoderLSTM,
                 )
 
-                self.decoder = DoubleBAttnDecoderLSTM(
-                    cfg.aemb, cfg.d_hidden_size, cfg.dropout,
-                    cfg.featdropout, feature_all, cfg.angle_feat_size,
-                    ctx_dim=ctx_dim, dtype=self.dtype)
-            else:
+                self.decoder = DoubleBAttnDecoderLSTM(**kw)
+            elif agent in ("advanced", "kvmem", "new", "mutan", "mt"):
+                from dasa_tpu.models import variants
+
+                cls = {"advanced": variants.AdvancedDecoderLSTM,
+                       "kvmem": variants.KVMemAttnDecoderLSTM,
+                       "new": variants.NewAttnDecoderLSTM,
+                       "mutan": variants.MutanAttnDecoderLSTM,
+                       "mt": variants.MTDecoder}[agent]
+                extra = {}
+                if agent == "advanced":
+                    extra["max_input"] = cfg.max_input
+                    extra["pred_back"] = cfg.pred_back
+                elif agent in ("kvmem", "new"):
+                    extra["pred_back"] = cfg.pred_back
+                elif agent == "mt":
+                    extra["vemb_dim"] = (1024 if cfg.d_bert_type == "large"
+                                         else 768)
+                self.decoder = cls(**kw, **extra)
+            else:  # default / dg (+ decoder_type dyrelu)
                 self.decoder = BAttnDecoderLSTM(
-                    cfg.aemb, cfg.d_hidden_size, cfg.dropout,
-                    cfg.featdropout, feature_all, cfg.angle_feat_size,
-                    ctx_dim=ctx_dim, use_shift=cfg.use_shift,
+                    **kw, use_shift=cfg.use_shift,
                     shift_kernel_size=cfg.shift_kernel_size,
                     pred_back=cfg.pred_back, back_input=cfg.back_input,
                     use_dyrelu=cfg.decoder_type == "dyrelu",
                     pred_pm=cfg.pred_pm, pm_type=cfg.pm_type,
-                    max_input=cfg.max_input,
-                    dtype=self.dtype, use_pallas=use_pallas)
+                    max_input=cfg.max_input, use_pallas=use_pallas)
             dec_hidden = cfg.d_hidden_size
         self.critic = Critic(cfg.critic_dim, cfg.dropout, self.dtype)
         self.adain = make_adain(cfg.adain_type, cfg.feature_size,
@@ -131,25 +202,36 @@ class DasaPolicy(nn.Module):
     def encode_text(self, instr, valid_mask, seq_len, *,
                     deterministic: bool = True):
         """Per-episode cacheable computation.  Dic: the text-only BERT
-        stack.  EncoderLSTM: the whole encoder (no vision input)."""
-        if self.cfg.encoder_type == "EncoderLSTM":
+        stack.  Mcatt: embed + biLSTM token stream.  EncoderLSTM: the
+        whole encoder (no vision input)."""
+        if self.cfg.encoder_type in PLAIN_ENCODERS:
             ctx, h0, c0 = self.encoder(instr, valid_mask,
                                        deterministic=deterministic)
             return {"ctx": ctx, "h0": h0, "c0": c0}
+        if self.cfg.agent_type == "mcatt":
+            return {"text_embeds": self.encoder.text_forward(
+                instr, ~valid_mask, deterministic=deterministic)}
         return {"text_embeds": self.encoder.text_forward(
             instr, valid_mask, deterministic=deterministic)}
 
     # ---- per-step pieces ----
     def encode_step(self, cached: Dict[str, jnp.ndarray], valid_mask,
                     seq_len, f_t, *, deterministic: bool = True):
-        """Per-step encoding.  Returns (ctx, h0, c0, ctx_v)."""
-        if self.cfg.encoder_type == "EncoderLSTM":
-            return cached["ctx"], cached["h0"], cached["c0"], None
-        ctx, h0, c0, ctx_v = self.encoder(
+        """Per-step encoding.  Returns (ctx, h0, c0, ctx_v, v_emb)."""
+        if self.cfg.encoder_type in PLAIN_ENCODERS:
+            return cached["ctx"], cached["h0"], cached["c0"], None, None
+        if self.cfg.agent_type == "mcatt":
+            # decoder state starts from (attended_txt, attended_v)
+            # (agent_mcatt.py:620-623)
+            ctx, att_txt, _v, att_v = self.encoder.cross_forward(
+                cached["text_embeds"], ~valid_mask, f_t,
+                deterministic=deterministic)
+            return ctx, att_txt, att_v, None, None
+        ctx, h0, c0, ctx_v, visn = self.encoder(
             cached["text_embeds"], valid_mask, seq_len,
             f_t_all=f_t if self.cfg.include_vision else None,
             deterministic=deterministic)
-        return ctx, h0, c0, ctx_v
+        return ctx, h0, c0, ctx_v, visn
 
     def apply_adain(self, inputs: StepInputs, *, is_test: bool = True,
                     gumbel_rng=None) -> StepInputs:
@@ -200,9 +282,17 @@ class DasaPolicy(nn.Module):
     def decode_step(self, inputs: StepInputs, state: DecoderState,
                     ctx, ctx_mask, *, deterministic: bool = True,
                     already_dropfeat: bool = False,
-                    input_noise=None, output_noise=None):
+                    input_noise=None, output_noise=None, v_emb=None):
         """One decoder step over the (AdaIN'd) pano df_t (stored in the
         d_t slot by apply_adain) and candidates."""
+        if self.cfg.agent_type == "mt":
+            h, c, logit, h1, aux = self.decoder(
+                inputs.action_feat, inputs.d_t, inputs.cand_feat,
+                state.h1, state.c, ctx, ctx_mask,
+                deterministic=deterministic,
+                already_dropfeat=already_dropfeat, v_emb=v_emb,
+                cand_idx=inputs.cand_idx)
+            return DecoderState(h, c, h1), logit, aux
         if self.cfg.agent_type == "double":
             half = self.cfg.d_hidden_size
             (h, c, h1), (hd, cd, h1d), logit, aux = self.decoder(
@@ -269,7 +359,7 @@ class DasaPolicy(nn.Module):
                                   gumbel_rng=gumbel_rng)
         if consistent and cfg.env_drop_stage == "after_adain":
             inputs = self._apply_env_noise(inputs, env_noise)
-        ctx, h0, c0, ctx_v = self.encode_step(
+        ctx, h0, c0, ctx_v, v_emb = self.encode_step(
             cached, valid_mask, seq_len, inputs.f_t,
             deterministic=deterministic)
         if ctx_v is not None:
@@ -278,16 +368,20 @@ class DasaPolicy(nn.Module):
             # both decoder streams start from the encoder state
             h0 = jnp.concatenate([h0, h0], axis=-1)
             c0 = jnp.concatenate([c0, c0], axis=-1)
-        return ctx, h0, c0, inputs
+        percept = {"ctx": ctx, "h0": h0, "c0": c0, "inputs": inputs}
+        if cfg.agent_type == "mt":
+            percept["v_emb"] = v_emb
+        return percept
 
-    def decode_from_percept(self, ctx, valid_mask, h0, c0,
-                            inputs: StepInputs, state: DecoderState,
-                            is_first, *, deterministic: bool = True,
+    def decode_from_percept(self, percept: Dict, valid_mask,
+                            state: DecoderState, is_first, *,
+                            deterministic: bool = True,
                             already_dropfeat: bool = False,
                             input_noise=None, output_noise=None):
         """The decoder-state-DEPENDENT tail of one rollout step: state
         select at t=0, decoder LSTM step, candidate logits, critic
         (vl_rollout, agent_dg.py:798-830)."""
+        h0, c0 = percept["h0"], percept["c0"]
         first = is_first.astype(h0.dtype)[:, None]
         state = DecoderState(
             h=first * h0 + (1 - first) * state.h,
@@ -295,10 +389,14 @@ class DasaPolicy(nn.Module):
             h1=first * h0 + (1 - first) * state.h1,
         )
         state, logit, aux = self.decode_step(
-            inputs, state, ctx, ~valid_mask, deterministic=deterministic,
+            percept["inputs"], state, percept["ctx"], ~valid_mask,
+            deterministic=deterministic,
             already_dropfeat=already_dropfeat, input_noise=input_noise,
-            output_noise=output_noise)
-        value = self.critic(state.h, deterministic=deterministic)
+            output_noise=output_noise, v_emb=percept.get("v_emb"))
+        # mcatt's critic reads h_tilde (agent_mcatt.py:630 appends h1)
+        critic_in = (state.h1 if self.cfg.agent_type == "mcatt"
+                     else state.h)
+        value = self.critic(critic_in, deterministic=deterministic)
         return state, logit, value, aux
 
     def policy_step(self, cached: Dict[str, jnp.ndarray], valid_mask,
@@ -312,12 +410,12 @@ class DasaPolicy(nn.Module):
         the agent's act/replay programs call the two halves as separate
         applies with split rng streams so the replay can vmap percepts
         over time while staying bit-identical to acting."""
-        ctx, h0, c0, inputs = self.percept_step(
+        percept = self.percept_step(
             cached, valid_mask, seq_len, inputs,
             deterministic=deterministic, is_test=is_test,
             env_noise=env_noise)
         return self.decode_from_percept(
-            ctx, valid_mask, h0, c0, inputs, state, is_first,
+            percept, valid_mask, state, is_first,
             deterministic=deterministic,
             already_dropfeat=env_noise is not None,
             input_noise=input_noise, output_noise=output_noise)
@@ -325,16 +423,10 @@ class DasaPolicy(nn.Module):
     # ---- init convenience ----
     def __call__(self, instr, valid_mask, seq_len, inputs: StepInputs):
         cached = self.encode_text(instr, valid_mask, seq_len)
-        inputs = self.apply_adain(inputs, is_test=True)
-        ctx, h0, c0, ctx_v = self.encode_step(cached, valid_mask, seq_len,
-                                              inputs.f_t)
-        if ctx_v is not None:
-            inputs = inputs._replace(d_t=inputs.d_t + ctx_v)
-        if self.cfg.agent_type == "double":
-            h0 = jnp.concatenate([h0, h0], axis=-1)
-            c0 = jnp.concatenate([c0, c0], axis=-1)
-        state = DecoderState(h0, c0, h0)
-        state, logit, aux = self.decode_step(inputs, state, ctx,
-                                             ~valid_mask)
-        v = self.value(state.h)
-        return logit, v
+        percept = self.percept_step(cached, valid_mask, seq_len, inputs)
+        state = DecoderState(percept["h0"], percept["c0"], percept["h0"])
+        batch = instr.shape[0]
+        state, logit, value, aux = self.decode_from_percept(
+            percept, valid_mask, state,
+            jnp.ones((batch,), bool))
+        return logit, value

@@ -133,6 +133,287 @@ class MutanFusion(nn.Module):
         return jnp.tanh(total)
 
 
+class _VariantDecoderBase(nn.Module):
+    """Shared skeleton of the ablation decoders (model.py:578-931): the
+    same angle-embed -> panorama attention -> LSTMCell -> instruction
+    attention -> candidate logits pipeline as BAttnDecoderLSTM, minus
+    shift attention, with hooks where each variant deviates."""
+
+    embedding_size: int
+    hidden_size: int
+    dropout_ratio: float
+    featdropout: float
+    feature_size: int
+    angle_feat_size: int
+    ctx_dim: int
+    pred_back: bool = False
+    max_input: int = 80
+    dtype: Dtype = jnp.float32
+
+    def _common_setup(self):
+        self.embedding = nn.Dense(self.embedding_size, dtype=self.dtype)
+        self.lstm = LstmCell(self.hidden_size,
+                             self.embedding_size + self._lstm_feat_dim(),
+                             self.dtype)
+        self.drop = nn.Dropout(self.dropout_ratio)
+        self.feat_att_layer = SoftDotAttention(
+            self.hidden_size, self.feature_size, self.dtype)
+        self.attention_layer = SoftDotAttention(
+            self.hidden_size, self.ctx_dim, self.dtype)
+        self.candidate_att_layer = SoftDotAttention(
+            self.hidden_size, self.feature_size, self.dtype)
+        if self.pred_back:
+            self.back_candidate_att_layer = SoftDotAttention(
+                self.hidden_size, self.feature_size, self.dtype)
+
+    def _lstm_feat_dim(self) -> int:
+        return self.feature_size
+
+    def _drop_env(self, x, deterministic):
+        return drop_visual(x, self.angle_feat_size, self.featdropout,
+                           self.make_rng("dropout") if not deterministic
+                           else None, deterministic)
+
+    def __call__(self, action, feature, cand_feat, prev_h1, c_0, ctx,
+                 ctx_mask=None, *, deterministic: bool = True,
+                 already_dropfeat: bool = False, **_
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                            jnp.ndarray, Dict[str, jnp.ndarray]]:
+        aux: Dict[str, jnp.ndarray] = {}
+        drop = lambda x: self.drop(  # noqa: E731
+            x, deterministic=deterministic)
+        action_embeds = drop(jnp.tanh(
+            self.embedding(action.astype(self.dtype))))
+        if not already_dropfeat and not deterministic:
+            feature = self._drop_env(feature, deterministic)
+        prev_h1_drop = drop(prev_h1)
+        attn_feat = self._pano_attend(prev_h1_drop, feature)
+        concat_input = jnp.concatenate(
+            [action_embeds, attn_feat.astype(self.dtype)], axis=-1)
+        (h_1, c_1), _ = self.lstm((prev_h1.astype(self.dtype),
+                                   c_0.astype(self.dtype)), concat_input)
+        h_1_drop = drop(h_1)
+        h_tilde = self._instr_attend(h_1, h_1_drop, ctx, ctx_mask, aux,
+                                     deterministic)
+        h_tilde_drop = drop(h_tilde)
+        if not already_dropfeat and not deterministic:
+            cand_feat = self._drop_env(cand_feat, deterministic)
+        logit, back_feat = self._cand_logit(h_tilde_drop, cand_feat)
+        if self.pred_back:
+            _, back_logit = self.back_candidate_att_layer(
+                prev_h1, back_feat, output_tilde=False,
+                output_prob=False)
+            aux["back_logit"] = back_logit
+        return h_1, c_1, logit, h_tilde, aux
+
+    # hooks -------------------------------------------------------------
+    def _pano_attend(self, prev_h1_drop, feature):
+        attn_feat, _ = self.feat_att_layer(prev_h1_drop, feature,
+                                           output_tilde=False)
+        return attn_feat
+
+    def _instr_attend(self, h_1, h_1_drop, ctx, ctx_mask, aux,
+                      deterministic):
+        h_tilde, _ = self.attention_layer(h_1_drop, ctx, ctx_mask)
+        return h_tilde
+
+    def _cand_logit(self, h_tilde_drop, cand_feat):
+        """Returns (logit, candidate features for the back head)."""
+        _, logit = self.candidate_att_layer(h_tilde_drop, cand_feat,
+                                            output_tilde=False,
+                                            output_prob=False)
+        return logit, cand_feat
+
+
+class AdvancedDecoderLSTM(_VariantDecoderBase):
+    """agent_advanced decoder (model.py:578-656): BAttn skeleton plus an
+    unconditional linear progress predictor on the zero-padded
+    instruction attention; its MSE is added to the ML loss with a fixed
+    weight of 10 (agent_advanced.py:563-565)."""
+
+    def setup(self):
+        self._common_setup()
+        self.pm_predictor = nn.Dense(1, dtype=self.dtype)
+
+    def _instr_attend(self, h_1, h_1_drop, ctx, ctx_mask, aux,
+                      deterministic):
+        h_tilde, alpha = self.attention_layer(h_1_drop, ctx, ctx_mask)
+        L = alpha.shape[1]
+        attw = alpha.astype(self.dtype)
+        if L < self.max_input:
+            attw = jnp.pad(attw, ((0, 0), (0, self.max_input - L)))
+        aux["pred_progress"] = self.pm_predictor(attw)[:, 0]
+        return h_tilde
+
+
+class KVMemAttnDecoderLSTM(_VariantDecoderBase):
+    """agent_kvmem decoder (model.py:661-735): a 100-slot learned
+    key-value memory refines h_tilde by residual soft attention."""
+
+    kv_slots: int = 100
+
+    def setup(self):
+        self._common_setup()
+        self.kv = self.param("kv", nn.initializers.normal(1.0),
+                             (self.kv_slots, self.hidden_size))
+        self.kv_att_layer = SoftDotAttention(
+            self.hidden_size, self.hidden_size, self.dtype)
+
+    def _instr_attend(self, h_1, h_1_drop, ctx, ctx_mask, aux,
+                      deterministic):
+        h_tilde, _ = self.attention_layer(h_1_drop, ctx, ctx_mask)
+        mem = jnp.broadcast_to(
+            self.kv.astype(self.dtype)[None],
+            (h_tilde.shape[0],) + self.kv.shape)
+        refined, _ = self.kv_att_layer(h_tilde, mem)
+        return h_tilde + refined
+
+
+class NewAttnDecoderLSTM(_VariantDecoderBase):
+    """agent_new decoder (model.py:738-823): panorama/candidate features
+    projected to hidden size, scaled-dot attention everywhere, and a
+    residual language update h_tilde = h_1 + attn_ctx."""
+
+    lang_dim: int = 2048   # raw ctx width fed to language_to_hidden
+
+    def setup(self):
+        self._common_setup()
+        self.visionpose_to_hidden = nn.Dense(self.hidden_size,
+                                             dtype=self.dtype)
+        self.language_to_hidden = nn.Dense(self.hidden_size,
+                                           dtype=self.dtype)
+
+    def _lstm_feat_dim(self) -> int:
+        return self.hidden_size
+
+    def _pano_attend(self, prev_h1_drop, feature):
+        feature = self.visionpose_to_hidden(feature.astype(self.dtype))
+        attn_feat, _ = scaled_dot_attention(feature, feature,
+                                            prev_h1_drop)
+        return attn_feat
+
+    def _instr_attend(self, h_1, h_1_drop, ctx, ctx_mask, aux,
+                      deterministic):
+        ctx = self.language_to_hidden(ctx.astype(self.dtype))
+        attn_ctx, _ = scaled_dot_attention(ctx, ctx, h_1_drop)
+        return h_1 + attn_ctx
+
+    def _cand_logit(self, h_tilde_drop, cand_feat):
+        # the reference's back head also sees the projected candidates
+        # (model.py:817-819)
+        cand = self.visionpose_to_hidden(cand_feat.astype(self.dtype))
+        _, logit = scaled_dot_attention(cand, cand, h_tilde_drop,
+                                        output_prob=False)
+        return logit, cand
+
+
+class MutanAttnDecoderLSTM(_VariantDecoderBase):
+    """agent_mutan decoder (model.py:826-931): h_tilde comes from a
+    Tucker-decomposed bilinear fusion of the hidden state with the
+    attended instruction (fusion.py MutanFusion, R=32, mm=256)."""
+
+    mutan_mm: int = 256
+    mutan_rank: int = 32
+
+    def setup(self):
+        self._common_setup()
+        self.mutan = MutanFusion(
+            dim_hv=self.hidden_size, dim_hq=self.ctx_dim,
+            dim_mm=self.mutan_mm, rank=self.mutan_rank,
+            dropout_v=0.2, dropout_q=0.2, dtype=self.dtype)
+        self.linear_mutan = nn.Dense(self.hidden_size, dtype=self.dtype)
+
+    def _instr_attend(self, h_1, h_1_drop, ctx, ctx_mask, aux,
+                      deterministic):
+        attended, _ = self.attention_layer(h_1_drop, ctx, ctx_mask,
+                                           output_tilde=False)
+        fused = self.mutan(h_1_drop, attended,
+                           deterministic=deterministic)
+        return self.linear_mutan(fused)
+
+
+class McattDecoder(_VariantDecoderBase):
+    """agent_mcatt decoder (model.py:1505-1591): the plain skeleton with
+    instruction attention at hidden width (the McattEncoder's
+    co-attended token stream)."""
+
+    def setup(self):
+        self._common_setup()
+
+
+class MTDecoder(nn.Module):
+    """The MT decoder (model.py:1609-1707): gated hidden update from the
+    mean panorama token, then an MLP scores every view token (plus a
+    learned STOP token) against the attended instruction and the heading
+    embedding; candidate logits are gathered by view index.  NOTE: the
+    reference's agent_mt import is broken (train.py:38 imports a
+    misspelled class), so this decoder is unreachable upstream; here it
+    is a working --agent_type mt.  Dimension note: the reference mixes
+    d_enc_hidden_size and d_hidden_size, which only coincide in the
+    published config; we use hidden_size uniformly."""
+
+    embedding_size: int
+    hidden_size: int
+    dropout_ratio: float
+    featdropout: float
+    feature_size: int      # visual + angle width
+    angle_feat_size: int
+    ctx_dim: int           # instruction ctx width
+    vemb_dim: int = 768    # vision-BERT token width
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.embedding = nn.Dense(self.embedding_size, dtype=self.dtype)
+        self.drop = nn.Dropout(self.dropout_ratio)
+        self.v_stop_feat = self.param("v_stop_feat",
+                                      nn.initializers.normal(1.0),
+                                      (self.feature_size,))
+        self.vemb_to_v = nn.Dense(self.feature_size, dtype=self.dtype)
+        self.hv_to_upd = nn.Dense(self.hidden_size, dtype=self.dtype)
+        self.h_to_ctx = nn.Dense(self.ctx_dim, dtype=self.dtype)
+        # the reference's MLP(use_relu=False, dropout_r=0) is two stacked
+        # linears (model.py:1631)
+        self.mlp_hidden = nn.Dense(self.hidden_size, dtype=self.dtype)
+        self.mlp_out = nn.Dense(1, dtype=self.dtype)
+
+    def __call__(self, action, feature, cand_feat, prev_h1, c_0, ctx,
+                 ctx_mask=None, *, deterministic: bool = True,
+                 already_dropfeat: bool = False, v_emb=None,
+                 cand_idx=None, **_):
+        aux: Dict[str, jnp.ndarray] = {}
+        action_embeds = self.drop(
+            jnp.tanh(self.embedding(action.astype(self.dtype))),
+            deterministic=deterministic)
+        if not already_dropfeat and not deterministic:
+            feature = drop_visual(feature, self.angle_feat_size,
+                                  self.featdropout,
+                                  self.make_rng("dropout"), deterministic)
+        feature = self.vemb_to_v(v_emb.astype(self.dtype)) + feature
+        mean_v = jnp.mean(feature[..., :-self.angle_feat_size], axis=1)
+        update_v = self.hv_to_upd(
+            jnp.concatenate([prev_h1.astype(self.dtype), mean_v], axis=-1))
+        gate = jax.nn.sigmoid(update_v)
+        h = prev_h1.astype(self.dtype) * (1 - gate) + gate * update_v
+        instr, _ = scaled_dot_attention(
+            ctx.astype(self.dtype), ctx.astype(self.dtype),
+            self.h_to_ctx(h)[:, None, :],
+            mask=None if ctx_mask is None else ctx_mask[:, None, :])
+        instr = instr[:, 0]
+        b, n_views, fdim = feature.shape
+        stop_tok = jnp.broadcast_to(
+            self.v_stop_feat.astype(self.dtype)[None, None, :],
+            (b, 1, fdim))
+        tokens = jnp.concatenate([feature, stop_tok], axis=1)
+        instr_angle = jnp.concatenate([instr, action_embeds], axis=-1)
+        tokens = jnp.concatenate(
+            [tokens, jnp.broadcast_to(instr_angle[:, None, :],
+                                      (b, n_views + 1,
+                                       instr_angle.shape[-1]))], axis=-1)
+        score = self.mlp_out(self.mlp_hidden(tokens))[..., 0]
+        logit = jnp.take_along_axis(score, cand_idx, axis=-1)
+        return h, h, logit, h, aux
+
+
 class DoubleBAttnDecoderLSTM(nn.Module):
     """Two parallel decoders — one over RGB, one over depth — with
     candidate logits summed (model.py:934-968, agent_double)."""

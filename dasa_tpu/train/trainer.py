@@ -105,11 +105,34 @@ class World:
             raw, self.cfg.connectivity_dir, splits=[split])
 
 
+def make_mesh_if_requested(cfg: Config):
+    """--data_parallel: initialize the multi-host runtime (no-op on one
+    host) and build the ('data','model') device mesh."""
+    if not cfg.data_parallel:
+        return None
+    import jax
+
+    from dasa_tpu.parallel import make_mesh
+    from dasa_tpu.parallel.distributed import initialize
+
+    initialize()
+    mesh = make_mesh(n_data=cfg.n_data)
+    n_data = mesh.shape["data"]
+    if cfg.batch_size % n_data != 0:
+        print(f"WARNING: batch_size {cfg.batch_size} not divisible by "
+              f"data axis {n_data}; batch-dim arrays will be replicated "
+              "instead of sharded", flush=True)
+    print(f"data-parallel mesh: {n_data} devices on 'data' "
+          f"({jax.process_count()} process(es))", flush=True)
+    return mesh
+
+
 def make_agent(cfg: Config, world: World, env_name: str = "train"
                ) -> Seq2SeqAgent:
     return Seq2SeqAgent(cfg, world.envs[env_name], world.feature_db,
                         depth_db=world.depth_db,
-                        vocab_size=len(world.tok))
+                        vocab_size=len(world.tok),
+                        mesh=make_mesh_if_requested(cfg))
 
 
 def run_validation(agent: Seq2SeqAgent, world: World, writer, it: int,

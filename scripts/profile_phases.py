@@ -143,7 +143,8 @@ def main():
         args = (iv, vm, sl, dummy_sobs(steps), dummy_sobs(),
                 jnp.zeros((steps, b), jnp.float32),
                 jnp.zeros((steps, b), jnp.float32),
-                jnp.ones((b,), bool), base_rng, env_noise,
+                jnp.ones((b,), bool), jnp.zeros((b,), jnp.float32),
+                base_rng, env_noise,
                 jnp.asarray(0.2, jnp.float32), jnp.asarray(1.0, jnp.float32),
                 jnp.asarray(0.01, jnp.float32))
         gfn = agent._grad_fn(use_noise, steps)

@@ -152,6 +152,39 @@ def test_save_load_roundtrip(world, connectivity_dir, tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_load_tolerates_component_mismatch(world, connectivity_dir,
+                                           tmp_path, capsys):
+    """A checkpoint from a plain agent loads into a pred_pm agent: every
+    matching leaf restores exactly, the pm head keeps its init, and a
+    NOTICE is printed (reference recover_state, agent_dg.py:1489-1510)."""
+    data_dir, feature_db, depth_db, tok = world
+    base = dict(encoder_type="Dic", include_vision=True)
+    env, _ = make_env(world, tiny_cfg(**base), "train", connectivity_dir)
+    donor = Seq2SeqAgent(tiny_cfg(**base), env, feature_db,
+                         vocab_size=len(tok))
+    path = str(tmp_path / "ckpt.msgpack")
+    donor.save(5, path)
+
+    cfg2 = tiny_cfg(**base, pred_pm=True)
+    target = Seq2SeqAgent(cfg2, env, feature_db, vocab_size=len(tok),
+                          rng_seed=7)
+    init_pm = np.asarray(
+        target.params["params"]["decoder"]["pm_critic"]["kernel"]).copy()
+    assert target.load(path) == 5
+    out = capsys.readouterr().out
+    assert "NOTICE" in out
+    # matching leaves restored exactly
+    np.testing.assert_array_equal(
+        np.asarray(target.params["params"]["decoder"]["embedding"]
+                   ["kernel"]),
+        np.asarray(donor.params["params"]["decoder"]["embedding"]
+                   ["kernel"]))
+    # pm head kept its init
+    np.testing.assert_array_equal(
+        np.asarray(target.params["params"]["decoder"]["pm_critic"]
+                   ["kernel"]), init_pm)
+
+
 def test_act_replay_rng_equivalence(world, connectivity_dir):
     """The replay scan must reproduce the act phase's per-step forward
     exactly: same fold_in(base_rng, t) rng derivation inside lax.scan as
@@ -190,13 +223,13 @@ def test_act_replay_rng_equivalence(world, connectivity_dir):
     def act_one(sobs_dev, state, t):
         inputs = make_step_inputs(cfg, agent.tables, sobs_dev)
         step_rng = jax.random.fold_in(base_rng, t)
-        ctx, h0, c0, pin = agent.policy.apply(
+        percept = agent.policy.apply(
             agent.params, cached, valid, seq_len, inputs,
             deterministic=False, is_test=False, env_noise=env_noise,
             rngs={"dropout": jax.random.fold_in(step_rng, 0)},
             method=DasaPolicy.percept_step)
         return agent.policy.apply(
-            agent.params, ctx, valid, h0, c0, pin, state,
+            agent.params, percept, valid, state,
             sobs_dev["is_first"], deterministic=False,
             already_dropfeat=True,
             rngs={"dropout": jax.random.fold_in(step_rng, 1)},
@@ -229,10 +262,10 @@ def test_act_replay_rng_equivalence(world, connectivity_dir):
 
     def step(carry, xs):
         st, t = carry
-        (ctx_t, h0_t, c0_t, pin_t), sobs = xs
+        percept_t, sobs = xs
         d_rng = jax.random.fold_in(jax.random.fold_in(base_rng, t), 1)
         new_state, logit, value, _ = agent.policy.apply(
-            agent.params, ctx_t, valid, h0_t, c0_t, pin_t, st,
+            agent.params, percept_t, valid, st,
             sobs["is_first"], deterministic=False,
             already_dropfeat=True, rngs={"dropout": d_rng},
             method=DasaPolicy.decode_from_percept)
@@ -314,6 +347,86 @@ def test_progress_monitor_head(world, connectivity_dir, pm_type):
     # episode-start progress is ~0; the sigmoid head starts near 0.5 and
     # must move toward the target
     assert pm_losses[-1] < pm_losses[0]
+
+
+@pytest.mark.parametrize("encoder_type", ["BEncoder", "CEncoder"])
+def test_bc_encoder_types(world, connectivity_dir, encoder_type):
+    """--encoderType BEncoder/CEncoder (model.py:88-247): text-only BERT
+    embeddings (C: projected to wemb) feed the plain LSTM path; training
+    step + argmax eval run end-to-end."""
+    cfg = tiny_cfg(encoder_type=encoder_type, max_action=4, batch_size=2,
+                   update_bert=False)
+    data_dir, feature_db, depth_db, tok = world
+    env, _ = make_env(world, cfg, "train", connectivity_dir)
+    agent = Seq2SeqAgent(cfg, env, feature_db, vocab_size=len(tok))
+    enc = agent.params["params"]["encoder"]
+    assert "bert" in enc
+    assert ("linear_in" in enc) == (encoder_type == "CEncoder")
+    agent.zero_grad()
+    agent.accumulate_gradient("sample")
+    agent.optim_step()
+    assert np.isfinite(agent.losses).all()
+    results = agent.test(feedback="argmax")
+    assert len(results) == env.size()
+
+
+def test_data_parallel_training_matches_single_device(world,
+                                                      connectivity_dir):
+    """Listener training sharded over a 4-device data mesh must follow
+    the single-device loss trajectory at matched global batch: values
+    are identical programs under GSPMD, only the partitioning differs
+    (replaces tasks/R2R/parallel.py:24-119 semantics)."""
+    import jax
+
+    from dasa_tpu.parallel import make_mesh
+
+    cfg = tiny_cfg(batch_size=4, max_action=4)
+    data_dir, feature_db, depth_db, tok = world
+
+    def run(mesh):
+        env, _ = make_env(world, cfg, "train", connectivity_dir)
+        agent = Seq2SeqAgent(cfg, env, feature_db, vocab_size=len(tok),
+                             mesh=mesh)
+        losses = []
+        for _ in range(3):
+            agent.zero_grad()
+            agent.accumulate_gradient("sample")
+            agent.optim_step()
+            losses.append(float(agent.losses[-1]))
+        return losses
+
+    single = run(None)
+    mesh = make_mesh(n_data=4, devices=jax.devices()[:4])
+    sharded = run(mesh)
+    np.testing.assert_allclose(sharded, single, rtol=2e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("agent_type", ["advanced", "kvmem", "new",
+                                        "mutan", "mcatt", "mt"])
+def test_variant_agents_train_and_eval(world, connectivity_dir,
+                                       agent_type):
+    """Each reference --agent_type (train.py:24-46) runs end-to-end:
+    mixed IL+RL accumulate-gradient step, then argmax eval covering the
+    split.  Decoders: model.py:578-931 (advanced/kvmem/new/mutan),
+    1505-1591 (mcatt, with the McattEncoder), 1609-1707 (mt)."""
+    kw = dict(encoder_type="Dic", include_vision=True, max_action=4,
+              batch_size=2, agent_type=agent_type)
+    if agent_type == "mcatt":
+        kw.update(mcan_hidden_size=32, mcan_heads=4, mcan_layers=1,
+                  mcan_flat_mlp_size=16)
+    cfg = tiny_cfg(**kw)
+    data_dir, feature_db, depth_db, tok = world
+    env, _ = make_env(world, cfg, "train", connectivity_dir)
+    agent = Seq2SeqAgent(cfg, env, feature_db, depth_db=depth_db,
+                         vocab_size=len(tok))
+    agent.zero_grad()
+    agent.accumulate_gradient("sample")
+    agent.optim_step()
+    assert np.isfinite(agent.losses).all()
+    if agent_type == "advanced":
+        assert np.isfinite(agent.logs["pm_loss"]).all()
+    results = agent.test(feedback="argmax")
+    assert len(results) == env.size()
 
 
 def test_dyrelu_decoder_agent(world, connectivity_dir):

@@ -43,6 +43,7 @@ def make_inputs(cfg, b=2, k=6):
         cand_feat=jnp.asarray(rng.normal(size=(b, k, F)), jnp.float32),
         cand_dfeat=jnp.asarray(rng.normal(size=(b, k, F)), jnp.float32),
         cand_mask=jnp.zeros((b, k), bool).at[:, 4:].set(True),
+        cand_idx=jnp.asarray(rng.integers(0, 36, size=(b, k)), jnp.int32),
     )
 
 
@@ -183,12 +184,12 @@ def test_policy_text_cache_exactness():
 
     cached = policy.apply(params, instr, valid, seq_len,
                           method=DasaPolicy.encode_text)
-    ctx1, h1, c1, _ = policy.apply(params, cached, valid, seq_len,
+    ctx1, h1, c1, _, _ = policy.apply(params, cached, valid, seq_len,
                                    inputs.f_t,
                                    method=DasaPolicy.encode_step)
     cached2 = policy.apply(params, instr, valid, seq_len,
                            method=DasaPolicy.encode_text)
-    ctx2, h2, c2, _ = policy.apply(params, cached2, valid, seq_len,
+    ctx2, h2, c2, _, _ = policy.apply(params, cached2, valid, seq_len,
                                    inputs.f_t,
                                    method=DasaPolicy.encode_step)
     np.testing.assert_allclose(np.asarray(ctx1), np.asarray(ctx2))

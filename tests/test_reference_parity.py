@@ -1,0 +1,310 @@
+"""Forward-parity against the reference's PyTorch modules.
+
+Loads the actual `r2r_src` torch code (torch 2.x CPU), pushes random
+torch weights through `dasa_tpu.utils.torch_import`, and asserts our
+Flax modules produce the same outputs on identical inputs — upgrading
+"same math" from design intent to verified fact for the checkpoint-
+import path (ShiftSoftDotAttention model.py:300-353, BAttnDecoderLSTM
+model.py:422-574, DicModel vilmodel.py:1245-1423, DGAdaChannel
+agent_dg.py:1513-1547).
+
+The reference imports MatterSim and pytorch_transformers at module
+scope; tiny shims stand in for both (the fake simulator only replays
+the discretized 36-view sweep utils.py:386-408 uses to build angle
+tables).
+"""
+
+import math
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference/r2r_src"
+
+B, HID, CTXD, FEAT, ANGLE, K, L = 3, 32, 64, 24, 8, 6, 12
+
+
+class _FakeSim:
+    """Replays the reference's discretized 36-view sweep (no rendering,
+    no dataset) so utils.py's module-scope ViewHelper can build."""
+
+    def setRenderingEnabled(self, *_):
+        pass
+
+    def setCameraResolution(self, *_):
+        pass
+
+    def setCameraVFOV(self, *_):
+        pass
+
+    def setDiscretizedViewingAngles(self, *_):
+        pass
+
+    def init(self):
+        pass
+
+    def newEpisode(self, scan, vp, heading, elevation):
+        self.heading, self.elevation = heading, elevation
+
+    def makeAction(self, index, h, e):
+        self.heading = (self.heading + h * math.pi / 6) % (2 * math.pi)
+        self.elevation += e * math.pi / 6
+
+    def getState(self):
+        s = types.SimpleNamespace()
+        s.heading, s.elevation = self.heading, self.elevation
+        s.viewIndex = ((int(round(self.elevation / (math.pi / 6))) + 1) * 12
+                       + int(round(self.heading / (math.pi / 6))) % 12)
+        return s
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Import the reference r2r_src modules with shims; returns
+    (model, vilmodel, agent_dg-classes, args)."""
+    if not os.path.isdir(REF):
+        pytest.skip("reference tree not mounted")
+    import contextlib
+    import io
+
+    argv = sys.argv
+    sys.argv = ["parity"]
+    ms = types.ModuleType("MatterSim")
+    ms.Simulator = _FakeSim
+    sys.modules.setdefault("MatterSim", ms)
+    ppb = types.ModuleType("pytorch_pretrained_bert")
+    fu = types.ModuleType("pytorch_pretrained_bert.file_utils")
+    fu.cached_path = lambda *a, **k: None
+    ppb.file_utils = fu
+    sys.modules.setdefault("pytorch_pretrained_bert", ppb)
+    sys.modules.setdefault("pytorch_pretrained_bert.file_utils", fu)
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    with contextlib.redirect_stdout(io.StringIO()):
+        import param
+
+        import modeling_utils
+
+        pt = types.ModuleType("pytorch_transformers")
+        pt.BertPreTrainedModel = modeling_utils.PreTrainedModel
+        pt.BertConfig = modeling_utils.PretrainedConfig
+        sys.modules.setdefault("pytorch_transformers", pt)
+        import model as ref_model
+        import vilmodel as ref_vilmodel
+    args = param.args
+    args.angle_feat_size = ANGLE
+    args.featdropout = 0.4
+    args.decoder_consistent_drop = False
+    args.pred_pm = False
+    args.maxInput = L
+    sys.argv = argv
+
+    # DGAdaChannel lives in agent_dg.py, which imports the full env
+    # stack; extract just the class source and exec it.
+    import ast
+
+    src = open(os.path.join(REF, "agent_dg.py")).read()
+    tree = ast.parse(src)
+    ns = {"torch": torch, "nn": torch.nn, "args": args}
+    for node in tree.body:
+        if isinstance(node, ast.ClassDef) and node.name == "DGAdaChannel":
+            exec(compile(ast.Module([node], []), "agent_dg.py", "exec"),
+                 ns)
+    assert "DGAdaChannel" in ns
+    return ref_model, ref_vilmodel, ns, args
+
+
+def _torch_state(mod):
+    return {k: v.detach().numpy() for k, v in mod.state_dict().items()}
+
+
+def _apply(params, translated, root):
+    from dasa_tpu.utils.torch_import import apply_translated
+
+    new, missed = apply_translated(params, translated, strict=True,
+                                   root=root)
+    return new
+
+
+def test_shift_attention_forward_parity(ref):
+    ref_model, _, _, args = ref
+    args.use_shift = True
+    args.shift_kernel_size = 3
+    tm = ref_model.ShiftSoftDotAttention(HID, FEAT + ANGLE, 3)
+    tm.eval()
+
+    from dasa_tpu.models.layers import ShiftSoftDotAttention
+    from dasa_tpu.utils.torch_import import translate_soft_dot
+
+    fm = ShiftSoftDotAttention(HID, FEAT + ANGLE, 3)
+    rng = np.random.default_rng(0)
+    h = rng.standard_normal((B, HID)).astype(np.float32)
+    ctx = rng.standard_normal((B, 36, FEAT + ANGLE)).astype(np.float32)
+    import jax
+
+    params = fm.init(jax.random.PRNGKey(0), jnp.asarray(h),
+                     jnp.asarray(ctx))
+    st = {"m." + k: v for k, v in _torch_state(tm).items()}
+    tr = translate_soft_dot(st, "m", "")
+    tr = {tuple(p for p in k if p): v for k, v in tr.items()}
+    params = _apply(params, tr, root=("params",))
+
+    with torch.no_grad():
+        t_tilde, t_attn = tm(torch.from_numpy(h), torch.from_numpy(ctx))
+    f_tilde, f_attn = fm.apply(params, jnp.asarray(h), jnp.asarray(ctx))
+    np.testing.assert_allclose(np.asarray(f_attn), t_attn.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f_tilde), t_tilde.numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_battn_decoder_forward_parity(ref):
+    ref_model, _, _, args = ref
+    args.use_shift = True
+    args.shift_kernel_size = 3
+    tm = ref_model.BAttnDecoderLSTM(8, HID, 0.5,
+                                    feature_size=FEAT + ANGLE,
+                                    pred_back=True)
+    tm.eval()
+
+    from dasa_tpu.models.decoder import BAttnDecoderLSTM
+    from dasa_tpu.utils.torch_import import translate_battn_decoder
+
+    fm = BAttnDecoderLSTM(8, HID, 0.5, 0.4, FEAT + ANGLE, ANGLE,
+                          ctx_dim=2 * HID, use_shift=True,
+                          shift_kernel_size=3, pred_back=True)
+    rng = np.random.default_rng(1)
+    action = rng.standard_normal((B, ANGLE)).astype(np.float32)
+    feat = rng.standard_normal((B, 36, FEAT + ANGLE)).astype(np.float32)
+    cand = rng.standard_normal((B, K, FEAT + ANGLE)).astype(np.float32)
+    h1 = rng.standard_normal((B, HID)).astype(np.float32)
+    c0 = rng.standard_normal((B, HID)).astype(np.float32)
+    ctx = rng.standard_normal((B, L, 2 * HID)).astype(np.float32)
+    mask = np.zeros((B, L), bool)
+    mask[:, 9:] = True
+
+    import jax
+
+    params = fm.init(jax.random.PRNGKey(0), jnp.asarray(action),
+                     jnp.asarray(feat), jnp.asarray(cand),
+                     jnp.asarray(h1), jnp.asarray(c0), jnp.asarray(ctx),
+                     jnp.asarray(mask))
+    tr = translate_battn_decoder(_torch_state(tm))
+    params = _apply(params, tr, root=("params",))
+
+    with torch.no_grad():
+        t_h, t_c, t_logit, t_tilde, t_aux = tm(
+            torch.from_numpy(action), torch.from_numpy(feat.copy()),
+            torch.from_numpy(cand.copy()), torch.from_numpy(h1),
+            torch.from_numpy(h1), torch.from_numpy(c0),
+            torch.from_numpy(ctx), torch.from_numpy(mask))
+    f_h, f_c, f_logit, f_tilde, f_aux = fm.apply(
+        params, jnp.asarray(action), jnp.asarray(feat),
+        jnp.asarray(cand), jnp.asarray(h1), jnp.asarray(c0),
+        jnp.asarray(ctx), jnp.asarray(mask), deterministic=True)
+    np.testing.assert_allclose(np.asarray(f_h), t_h.numpy(), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f_logit), t_logit.numpy(),
+                               rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(f_tilde), t_tilde.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f_aux["back_logit"]),
+                               t_aux["back_logit"].numpy(), rtol=1e-4,
+                               atol=2e-4)
+
+
+def test_dic_model_forward_parity(ref):
+    _, ref_vilmodel, _, args = ref
+    import modeling_utils
+
+    tcfg = modeling_utils.PretrainedConfig()
+    fields = dict(
+        vocab_size=64, hidden_size=HID, num_attention_heads=4,
+        intermediate_size=2 * HID, max_position_embeddings=64,
+        type_vocab_size=2, hidden_dropout_prob=0.1,
+        attention_probs_dropout_prob=0.1, layer_norm_eps=1e-12,
+        img_feature_dim=FEAT + ANGLE, img_feature_type="imagenet",
+        la_layers=2, vl_layers=1, v_layers=0, update_lang_bert=True,
+        update_add_layer=True, hidden_act="gelu",
+        initializer_range=0.02, output_attentions=False,
+        output_hidden_states=False, num_hidden_layers=2,
+        vocab_size_or_config_json_file=64)
+    for k, v in fields.items():
+        setattr(tcfg, k, v)
+    tm = ref_vilmodel.DicModel(tcfg)
+    tm.eval()
+
+    from dasa_tpu.models.bert import BertConfig, DicModel
+    from dasa_tpu.utils.torch_import import translate_dic_model
+
+    fcfg = BertConfig(
+        vocab_size=64, hidden_size=HID, num_attention_heads=4,
+        intermediate_size=2 * HID, max_position_embeddings=64,
+        img_feature_dim=FEAT + ANGLE, la_layers=2, vl_layers=1,
+        v_layers=0, update_lang_bert=True, update_add_layer=True)
+    fm = DicModel(fcfg)
+    rng = np.random.default_rng(2)
+    ids = rng.integers(1, 64, size=(B, L)).astype(np.int64)
+    att = np.ones((B, L), np.int64)
+    att[:, 10:] = 0
+    img = rng.standard_normal((B, 36, FEAT + ANGLE)).astype(np.float32)
+
+    import jax
+
+    params = fm.init(jax.random.PRNGKey(0), jnp.asarray(ids, jnp.int32),
+                     jnp.asarray(att, jnp.int32), jnp.asarray(img))
+    tr = translate_dic_model(_torch_state(tm))
+    params = _apply(params, tr, root=("params",))
+
+    with torch.no_grad():
+        t_seq, t_pooled, t_visn = tm(torch.from_numpy(ids),
+                                     torch.from_numpy(att),
+                                     img_feats=torch.from_numpy(img))
+    f_seq, f_pooled, f_visn = fm.apply(
+        params, jnp.asarray(ids, jnp.int32), jnp.asarray(att, jnp.int32),
+        jnp.asarray(img), deterministic=True)
+    np.testing.assert_allclose(np.asarray(f_seq), t_seq.numpy(),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(f_pooled), t_pooled.numpy(),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(f_visn), t_visn.numpy(),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_dg_ada_channel_forward_parity(ref):
+    _, _, ns, args = ref
+    args.ab_type = "ab"
+    args.a_type = "sigmoid"
+    tm = ns["DGAdaChannel"](FEAT)
+    tm.eval()
+
+    from dasa_tpu.models.adain import make_adain
+    from dasa_tpu.utils.torch_import import translate_linear
+
+    fm = make_adain("channel", FEAT, "ab", "sigmoid", jnp.float32)
+    rng = np.random.default_rng(3)
+    f_t = rng.standard_normal((B, 36, FEAT)).astype(np.float32)
+    d_t = rng.standard_normal((B, 36, FEAT)).astype(np.float32)
+
+    import jax
+
+    params = fm.init(jax.random.PRNGKey(0), jnp.asarray(f_t),
+                     jnp.asarray(d_t))
+    st = _torch_state(tm)
+    tr = {}
+    tr.update(translate_linear(st, "a_fc", "a_fc"))
+    tr.update(translate_linear(st, "b_fc", "b_fc"))
+    params = _apply(params, tr, root=("params",))
+
+    with torch.no_grad():
+        t_out = tm(torch.from_numpy(f_t), torch.from_numpy(d_t))
+    f_out = fm.apply(params, jnp.asarray(f_t), jnp.asarray(d_t),
+                     is_test=True)
+    np.testing.assert_allclose(np.asarray(f_out), t_out.numpy(),
+                               rtol=1e-4, atol=1e-5)
