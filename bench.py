@@ -91,11 +91,19 @@ def main():
     one_iter()
     warm = time.time() - t0
 
-    n_iters = 2 if fast else 4
+    # timed window: >=20 iterations so episode-length variation averages
+    # out; per-iteration rates give the spread (round-over-round deltas
+    # should be attributable to code, not episode luck)
+    n_iters = 2 if fast else 20
+    rates = []
     agent.total_env_steps = 0
     t0 = time.time()
     for _ in range(n_iters):
+        before_steps = agent.total_env_steps
+        t1 = time.time()
         one_iter()
+        rates.append((agent.total_env_steps - before_steps)
+                     / (time.time() - t1))
     dt = time.time() - t0
     steps_per_sec = agent.total_env_steps / dt
 
@@ -107,7 +115,9 @@ def main():
     }
     print(json.dumps(result))
     print(f"# warmup(compile)={warm:.1f}s, timed {n_iters} iters in "
-          f"{dt:.1f}s, {agent.total_env_steps} agent-steps, backend="
+          f"{dt:.1f}s, {agent.total_env_steps} agent-steps, "
+          f"per-iter {np.mean(rates):.1f}+-{np.std(rates):.1f} steps/s "
+          f"(min {min(rates):.1f}, max {max(rates):.1f}), backend="
           f"{__import__('jax').default_backend()}", file=sys.stderr)
 
 

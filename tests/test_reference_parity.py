@@ -91,8 +91,15 @@ def ref():
 
         import modeling_utils
 
+        class _ShimPreTrained(modeling_utils.PreTrainedModel):
+            # the real pytorch_transformers base provides init_weights;
+            # a no-op suffices since every weight is overwritten by the
+            # translated torch state anyway
+            def init_weights(self):
+                pass
+
         pt = types.ModuleType("pytorch_transformers")
-        pt.BertPreTrainedModel = modeling_utils.PreTrainedModel
+        pt.BertPreTrainedModel = _ShimPreTrained
         pt.BertConfig = modeling_utils.PretrainedConfig
         sys.modules.setdefault("pytorch_transformers", pt)
         import model as ref_model
@@ -124,11 +131,14 @@ def _torch_state(mod):
     return {k: v.detach().numpy() for k, v in mod.state_dict().items()}
 
 
-def _apply(params, translated, root):
+def _apply(params, translated, root, allow_missing=()):
     from dasa_tpu.utils.torch_import import apply_translated
 
-    new, missed = apply_translated(params, translated, strict=True,
+    new, missed = apply_translated(params, translated, strict=False,
                                    root=root)
+    unexpected = [m for m in missed
+                  if not any(a in m for a in allow_missing)]
+    assert not unexpected, unexpected
     return new
 
 
@@ -196,7 +206,12 @@ def test_battn_decoder_forward_parity(ref):
                      jnp.asarray(h1), jnp.asarray(c0), jnp.asarray(ctx),
                      jnp.asarray(mask))
     tr = translate_battn_decoder(_torch_state(tm))
-    params = _apply(params, tr, root=("params",))
+    # torch's SoftDotAttention instantiates linear_out even where the
+    # decoder never calls it with output_tilde=True; our compact modules
+    # only create executed params
+    params = _apply(params, tr, root=("params",),
+                    allow_missing=("feat_att_layer/linear_out",
+                                   "candidate_att_layer/linear_out"))
 
     with torch.no_grad():
         t_h, t_c, t_logit, t_tilde, t_aux = tm(
@@ -263,8 +278,10 @@ def test_dic_model_forward_parity(ref):
     params = _apply(params, tr, root=("params",))
 
     with torch.no_grad():
+        # NB: the torch forward's 2nd positional is token_type_ids
+        # (vilmodel.py:1328) — attention_mask must go by keyword
         t_seq, t_pooled, t_visn = tm(torch.from_numpy(ids),
-                                     torch.from_numpy(att),
+                                     attention_mask=torch.from_numpy(att),
                                      img_feats=torch.from_numpy(img))
     f_seq, f_pooled, f_visn = fm.apply(
         params, jnp.asarray(ids, jnp.int32), jnp.asarray(att, jnp.int32),
