@@ -85,27 +85,31 @@ def main():
         agent.accumulate_gradient("sample")
         agent.optim_step()
 
-    # warmup: compile every replay bucket + act/update programs
+    # warmup: compile the programs the timed loop will use (device path:
+    # the two fused rollout-grad programs + tree-add + apply)
     t0 = time.time()
-    agent.precompile_replay(cfg.batch_size)
+    if not agent.use_device_rollout():
+        agent.precompile_replay(cfg.batch_size)
     one_iter()
+    float(np.asarray(agent.losses[-1]))  # force through the async queue
     warm = time.time() - t0
 
     # timed window: >=20 iterations so episode-length variation averages
-    # out; per-iteration rates give the spread (round-over-round deltas
-    # should be attributable to code, not episode luck)
+    # out.  The loop itself fetches NOTHING (device dispatch is async and
+    # the fused rollouts never sync); the clock stops on a value fetch
+    # that depends on the final iteration's work, so queued work cannot
+    # leak out of the window.
     n_iters = 2 if fast else 20
-    rates = []
     agent.total_env_steps = 0
+    agent._env_steps_log = []
     t0 = time.time()
     for _ in range(n_iters):
-        before_steps = agent.total_env_steps
-        t1 = time.time()
         one_iter()
-        rates.append((agent.total_env_steps - before_steps)
-                     / (time.time() - t1))
+    final_sync = float(np.asarray(agent.losses[-1]))
     dt = time.time() - t0
-    steps_per_sec = agent.total_env_steps / dt
+    per_iter_steps = [int(x) for x in agent._env_steps_log]
+    total_steps = agent.env_steps_total()
+    steps_per_sec = total_steps / dt
 
     result = {
         "metric": "agent_steps_per_sec",
@@ -114,11 +118,15 @@ def main():
         "vs_baseline": round(steps_per_sec / REF_AGENT_STEPS_PER_SEC, 3),
     }
     print(json.dumps(result))
+    rollouts_per_iter = max(1, len(per_iter_steps) // n_iters)
+    iters = [sum(per_iter_steps[i:i + rollouts_per_iter])
+             for i in range(0, len(per_iter_steps), rollouts_per_iter)]
     print(f"# warmup(compile)={warm:.1f}s, timed {n_iters} iters in "
-          f"{dt:.1f}s, {agent.total_env_steps} agent-steps, "
-          f"per-iter {np.mean(rates):.1f}+-{np.std(rates):.1f} steps/s "
-          f"(min {min(rates):.1f}, max {max(rates):.1f}), backend="
-          f"{__import__('jax').default_backend()}", file=sys.stderr)
+          f"{dt:.1f}s, {total_steps} agent-steps "
+          f"(per-iter steps min {min(iters) if iters else 0} / "
+          f"max {max(iters) if iters else 0}), final_loss={final_sync:.3f},"
+          f" backend={__import__('jax').default_backend()}",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":

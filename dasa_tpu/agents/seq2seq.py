@@ -141,6 +141,8 @@ class Seq2SeqAgent:
 
         self._base_rng = jax.random.PRNGKey(cfg.seed + rng_seed)
         self._rollout_counter = 0
+        self._env_steps_log: List = []   # device-rollout step counts (lazy)
+        self._dev_env = None
         self.losses: List[float] = []
         self.logs = defaultdict(list)
         self.results: Dict[str, dict] = {}
@@ -272,8 +274,9 @@ class Seq2SeqAgent:
                 elif feedback == "argmax":
                     action = jnp.argmax(masked, axis=-1)
                 elif feedback == "sample":
+                    # stream 2: 0=percept dropout, 1=decode dropout
                     action = jax.random.categorical(
-                        jax.random.fold_in(step_rng, 1), masked, axis=-1)
+                        jax.random.fold_in(step_rng, 2), masked, axis=-1)
                 else:
                     raise ValueError(feedback)
                 return new_state, action.astype(jnp.int32)
@@ -492,6 +495,286 @@ class Seq2SeqAgent:
 
             self._jit_cache[key] = run
         return self._jit_cache[key]
+
+    # ------------------------------------------------------------------
+    # fused device rollout: acting, env transitions, rewards, and the
+    # IL+A2C gradient in ONE jitted program (zero host round-trips).
+    # The graph walk is table gathers (env/device_env.py); through the
+    # remote-TPU tunnel every host fetch costs ~25-100 ms, so the
+    # host-driven step loop is latency-bound — this path isn't.
+    # ------------------------------------------------------------------
+    def _make_device_loss_fn(self, feedback: str, use_noise: bool):
+        from dasa_tpu.env.device_env import device_obs, device_transition
+
+        cfg = self.cfg
+        policy = self.policy
+        T = cfg.max_action
+        k = cfg.max_candidates
+
+        def loss_fn(inner_params, tables, env_arrays, node0, view0, goal,
+                    start, instr, valid, seq_len, base_rng, env_noise,
+                    ml_weight, rl_weight, ent_weight):
+            params = {"params": inner_params}
+            cached = policy.apply(
+                params, instr, valid, seq_len, deterministic=False,
+                rngs={"dropout": jax.random.fold_in(base_rng, INIT_SALT)},
+                method=DasaPolicy.encode_text)
+            batch = instr.shape[0]
+            dist_t, node_base_t = env_arrays[6], env_arrays[8]
+            goal_local = goal - node_base_t[goal]
+            total_dist = dist_t[node0, goal_local]
+            # episode-start progress (pm target; = 0 up to the eps term)
+            pm_target = 1.0 - total_dist / (total_dist + 1e-10)
+            dec_h = decoder_state_width(cfg)
+            state0 = DecoderState(
+                h=jnp.zeros((batch, dec_h), self.dtype),
+                c=jnp.zeros((batch, dec_h), self.dtype),
+                h1=jnp.zeros((batch, dec_h), self.dtype))
+
+            def policy_losses(sobs, state, t, active):
+                """Shared per-step forward + IL/RL bookkeeping (the
+                replay body of _make_loss_fn, fed device-built obs)."""
+                inputs = make_step_inputs(cfg, tables, sobs)
+                step_rng = jax.random.fold_in(base_rng, t)
+                percept = policy.apply(
+                    params, cached, valid, seq_len, inputs,
+                    deterministic=False, is_test=False,
+                    env_noise=env_noise if use_noise else None,
+                    rngs={"dropout": jax.random.fold_in(step_rng, 0)},
+                    method=DasaPolicy.percept_step)
+                new_state, logit, value, aux = policy.apply(
+                    params, percept, valid, state, sobs["is_first"],
+                    deterministic=False, already_dropfeat=use_noise,
+                    rngs={"dropout": jax.random.fold_in(step_rng, 1)},
+                    method=DasaPolicy.decode_from_percept)
+                logit = logit.astype(jnp.float32)
+                masked = jnp.where(sobs["logit_mask"], NEG_INF, logit)
+                logp = jax.nn.log_softmax(masked, axis=-1)
+                p = jnp.exp(logp)
+                if feedback == "teacher":
+                    a = sobs["teacher"]
+                elif feedback == "sample":
+                    a = jax.random.categorical(
+                        jax.random.fold_in(step_rng, 2), masked, axis=-1)
+                else:  # argmax
+                    a = jnp.argmax(masked, axis=-1)
+                a = jax.lax.stop_gradient(a).astype(jnp.int32)
+                a_rec = jnp.minimum(a, sobs["cand_n"])
+                ce = -jnp.take_along_axis(
+                    logp, sobs["teacher"][:, None], axis=1)[:, 0]
+                ce = jnp.where(active, ce, 0.0)
+                logp_a = jnp.take_along_axis(
+                    logp, a_rec[:, None], axis=1)[:, 0]
+                outs = {"ce": ce, "logp_a": logp_a,
+                        "ent": _entropy(logp, p),
+                        "value": value.astype(jnp.float32)}
+                if cfg.pred_back:
+                    back = jnp.where(sobs["logit_mask"], NEG_INF,
+                                     aux["back_logit"].astype(jnp.float32))
+                    blogp = jax.nn.log_softmax(back, axis=-1)
+                    outs["back_ce"] = -jnp.take_along_axis(
+                        blogp, sobs["back_teacher"][:, None], axis=1)[:, 0]
+                if cfg.pred_pm:
+                    pm = aux["pm_score"].astype(jnp.float32)
+                    real = active.any().astype(jnp.float32)
+                    outs["pm_mse"] = jnp.mean((pm - pm_target) ** 2) * real
+                if cfg.agent_type == "advanced":
+                    pp = aux["pred_progress"].astype(jnp.float32)
+                    real = active.any().astype(jnp.float32)
+                    outs["adv_pm_mse"] = (jnp.mean((pp - pm_target) ** 2)
+                                          * real)
+                return new_state, a, outs
+
+            def zero_outs():
+                z = jnp.zeros((batch,), jnp.float32)
+                outs = {"ce": z, "logp_a": z, "ent": z, "value": z,
+                        "reward": z, "rl_mask": z,
+                        "env_steps": jnp.asarray(0, jnp.int32)}
+                if cfg.pred_back:
+                    outs["back_ce"] = z
+                if cfg.pred_pm:
+                    outs["pm_mse"] = jnp.asarray(0.0, jnp.float32)
+                if cfg.agent_type == "advanced":
+                    outs["adv_pm_mse"] = jnp.asarray(0.0, jnp.float32)
+                return outs
+
+            def real_step(carry, t):
+                node, view, ended, state = carry
+                active = ~ended
+                sobs = device_obs(env_arrays, node, view, goal, start,
+                                  total_dist, k)
+                sobs["is_first"] = jnp.broadcast_to(t == 0, (batch,))
+                new_state, a, outs = policy_losses(sobs, state, t, active)
+                new_node, new_view, stop = device_transition(
+                    env_arrays, node, view, a, ended)
+                # reward shaping (rollout loop / agent_dg.py:900-926)
+                dist_new = dist_t[new_node, goal_local]
+                delta = -(dist_new - sobs["distance"])
+                move_r = jnp.where(delta > 0, 1.0,
+                                   jnp.where(delta < 0, -1.0, 0.0))
+                stop_r = jnp.where(dist_new < 3.0, 2.0, -2.0)
+                stop_now = stop & active
+                outs["reward"] = jnp.where(
+                    ended, 0.0, jnp.where(stop_now, stop_r, move_r)
+                ).astype(jnp.float32)
+                outs["rl_mask"] = active.astype(jnp.float32)
+                outs["env_steps"] = active.sum().astype(jnp.int32)
+                return (new_node, new_view, ended | stop, new_state), outs
+
+            if T > 16:  # remat long rollouts (bounded residual memory)
+                real_step = jax.checkpoint(real_step)
+
+            def body(carry, t):
+                ended = carry[2]
+                return jax.lax.cond(ended.all(),
+                                    lambda c, _t: (c, zero_outs()),
+                                    real_step, carry, t)
+
+            ended0 = jnp.zeros((batch,), bool)
+            (node, view, ended, state), outs = jax.lax.scan(
+                body, (node0, view0, ended0, state0),
+                jnp.arange(T, dtype=jnp.int32))
+
+            ml_loss = outs["ce"].sum()
+            forth_loss = ml_loss
+            if cfg.pred_back:
+                ml_loss = ml_loss + cfg.back_weight * outs["back_ce"].sum()
+            logs = {"forth_loss": forth_loss,
+                    "entropy": outs["ent"].sum(),
+                    "env_steps": outs["env_steps"].sum()}
+            if cfg.pred_pm:
+                pm_total = cfg.pm_weight * outs["pm_mse"].sum()
+                ml_loss = ml_loss + pm_total
+                logs["pm_loss"] = pm_total
+            if cfg.agent_type == "advanced":
+                adv_pm = outs["adv_pm_mse"].sum()
+                ml_loss = ml_loss + 10.0 * adv_pm
+                logs["pm_loss"] = adv_pm
+            total_loss = ml_weight * ml_loss / batch
+            logs["ml_loss"] = ml_loss
+
+            # A2C bootstrap at t=T on the final state
+            sobs_f = device_obs(env_arrays, node, view, goal, start,
+                                total_dist, k)
+            sobs_f["is_first"] = jnp.zeros((batch,), bool)
+            _, _, last_outs = policy_losses(sobs_f, state,
+                                            jnp.asarray(T, jnp.int32),
+                                            ~ended)
+            last_value = jax.lax.stop_gradient(last_outs["value"])
+            g0 = jnp.where(ended, 0.0, last_value)
+
+            def rev_step(g, xs):
+                r, v, logp_a, ent, m = xs
+                g = g * cfg.gamma + r
+                adv = jax.lax.stop_gradient(g - v)
+                pol = (-logp_a * adv * m).sum()
+                val = 0.5 * (((g - v) ** 2) * m).sum()
+                step_loss = pol + val + (-ent_weight * ent * m).sum()
+                return g, (step_loss, val)
+
+            _, (step_losses, critic_losses) = jax.lax.scan(
+                rev_step, g0,
+                (outs["reward"], outs["value"], outs["logp_a"],
+                 outs["ent"], outs["rl_mask"]), reverse=True)
+            rl_loss = step_losses.sum()
+            total = outs["rl_mask"].sum()
+            if cfg.normalize_loss == "total":
+                rl_loss = rl_loss / jnp.maximum(total, 1.0)
+            elif cfg.normalize_loss == "batch":
+                rl_loss = rl_loss / batch
+            total_loss = total_loss + rl_weight * rl_loss
+            logs["rl_loss"] = rl_weight * rl_loss
+            logs["critic_loss"] = rl_weight * critic_losses.sum()
+            logs["total"] = total
+            logs["loss"] = total_loss
+            return total_loss, logs
+
+        return loss_fn
+
+    def _device_grad_fn(self, feedback: str, use_noise: bool):
+        key = ("devgrad", feedback, use_noise)
+        if key not in self._jit_cache:
+            loss_fn = self._make_device_loss_fn(feedback, use_noise)
+
+            @jax.jit
+            def run(params, tables, env_arrays, *args):
+                (loss, logs), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params["params"], tables,
+                                           env_arrays, *args)
+                return grads, logs
+
+            self._jit_cache[key] = run
+        return self._jit_cache[key]
+
+    def _device_env_tables(self):
+        if getattr(self, "_dev_env", None) is None:
+            from dasa_tpu.env.device_env import DeviceEnvTables
+
+            self._dev_env = DeviceEnvTables.build(self.env,
+                                                  self.cfg.max_candidates)
+        return self._dev_env
+
+    def use_device_rollout(self) -> bool:
+        """Training rollouts run fully on device when nothing needs the
+        host env mid-episode (no back-translation, no visited masking)."""
+        if self.cfg.device_rollout == "never" or self.env is None:
+            return False
+        return not self.cfg.submit and getattr(self.env, "graphs", None) \
+            is not None
+
+    def device_rollout(self, train_ml: Optional[float] = None,
+                       train_rl: bool = True,
+                       feedback: Optional[str] = None) -> None:
+        """One training episode batch, fully on device: dispatches a
+        single fused act+grad program and accumulates its gradients;
+        fetches nothing."""
+        from dasa_tpu.env.device_env import episode_inputs
+
+        cfg = self.cfg
+        feedback = feedback or self.feedback
+        train_rl = train_rl and feedback == "sample"
+        env = self.env
+        env.reset()
+        dev = self._device_env_tables()
+        ep = episode_inputs(env, dev)
+
+        base_rng = jax.random.fold_in(self._base_rng,
+                                      self._rollout_counter)
+        self._rollout_counter += 1
+        use_noise = cfg.consistent_drop
+        env_noise = (self._noise_fn()(base_rng) if use_noise
+                     else jnp.ones((cfg.feature_size,), self.dtype))
+
+        instr = self._put_batch(env._static["instr"])
+        valid = self._put_batch(~env._static["pad_mask"])
+        seq_len = self._put_batch(env._static["seq_len"])
+        args = (self._put_batch(ep["node0"]), self._put_batch(ep["view0"]),
+                self._put_batch(ep["goal"]), self._put_batch(ep["start"]),
+                instr, valid, seq_len, base_rng, env_noise,
+                jnp.asarray(train_ml if train_ml is not None else 0.0,
+                            jnp.float32),
+                jnp.asarray(1.0 if train_rl else 0.0, jnp.float32),
+                jnp.asarray(0.01 if (train_rl and feedback == "sample")
+                            else 0.0, jnp.float32))
+        grads, logs = self._device_grad_fn(feedback, use_noise)(
+            self.params, self.tables, dev.arrays(), *args)
+        if self._grad_accum is None:
+            self._grad_accum = grads
+        else:
+            self._grad_accum = self._tree_add_fn()(self._grad_accum,
+                                                   grads)
+        self._env_steps_log.append(logs["env_steps"])
+        for k2, v in logs.items():
+            if k2 != "env_steps":
+                self.logs[k2].append(v)
+        self.losses.append(logs["loss"])
+
+    def env_steps_total(self) -> int:
+        """Total (episode, step) pairs processed, combining the host
+        counter with the lazily accumulated device-rollout counts (this
+        call fetches device values — use outside timed regions)."""
+        dev = sum(int(x) for x in self._env_steps_log)
+        return self.total_env_steps + dev
 
     def _apply_fn(self):
         if "apply" not in self._jit_cache:
@@ -832,10 +1115,30 @@ class Seq2SeqAgent:
         """Two-pass gradient accumulation (teacher-ML + sampled-RL,
         agent_dg.py:1347-1384).  `ml_weight` overrides cfg.ml_weight so
         the aug-alternation scheme can pass ml_weight_org/aug per env
-        instead of mutating global args (train.py:233-243)."""
+        instead of mutating global args (train.py:233-243).
+
+        When nothing needs the host env mid-episode, each pass runs as
+        ONE fused on-device act+grad program (device_rollout)."""
         cfg = self.cfg
         if ml_weight is None:
             ml_weight = cfg.ml_weight
+        speaker = kwargs.pop("speaker", None)
+        defer = kwargs.pop("defer_pairs", False)
+        if (speaker is None and not kwargs and not defer
+                and self.use_device_rollout()):
+            if feedback == "teacher":
+                self.device_rollout(train_ml=cfg.teacher_weight,
+                                    train_rl=False, feedback="teacher")
+            elif feedback == "sample":
+                self.device_rollout(train_ml=ml_weight, train_rl=False,
+                                    feedback="teacher")
+                self.device_rollout(train_ml=None, train_rl=True,
+                                    feedback="sample")
+            else:
+                raise ValueError(feedback)
+            return
+        if speaker is not None:
+            kwargs["speaker"] = speaker
         if feedback == "teacher":
             self.feedback = "teacher"
             self.rollout(train_ml=cfg.teacher_weight, train_rl=False,
@@ -844,7 +1147,6 @@ class Seq2SeqAgent:
             # separate dispatches: the vmapped pair program measured 3x
             # slower on v5e (remat-scan under vmap lowers poorly); pass
             # defer_pairs=True to accumulate_gradient to re-enable it
-            defer = kwargs.pop("defer_pairs", False)
             self.feedback = "teacher"
             self.rollout(train_ml=ml_weight, train_rl=False,
                          feedback="teacher", defer_grad=defer, **kwargs)
@@ -870,12 +1172,20 @@ class Seq2SeqAgent:
             if feedback == "teacher":
                 self.accumulate_gradient("teacher", **kwargs)
             elif feedback == "sample":
-                if self.cfg.ml_weight != 0:
-                    self.rollout(train_ml=self.cfg.ml_weight,
-                                 train_rl=False, feedback="teacher",
-                                 **kwargs)
-                self.rollout(train_ml=None, train_rl=True,
-                             feedback="sample", **kwargs)
+                if not kwargs and self.use_device_rollout():
+                    if self.cfg.ml_weight != 0:
+                        self.device_rollout(train_ml=self.cfg.ml_weight,
+                                            train_rl=False,
+                                            feedback="teacher")
+                    self.device_rollout(train_ml=None, train_rl=True,
+                                        feedback="sample")
+                else:
+                    if self.cfg.ml_weight != 0:
+                        self.rollout(train_ml=self.cfg.ml_weight,
+                                     train_rl=False, feedback="teacher",
+                                     **kwargs)
+                    self.rollout(train_ml=None, train_rl=True,
+                                 feedback="sample", **kwargs)
             else:
                 raise ValueError(feedback)
             self.optim_step()

@@ -178,6 +178,11 @@ class Config:
     # (replaces tasks/R2R/parallel.py:24-119 + NCCL DDP).
     data_parallel: bool = False
     n_data: Optional[int] = None   # data-axis size; None => all devices
+    # Fused on-device training rollouts (env transitions as table
+    # gathers inside the grad program; zero host round-trips per pass).
+    # auto: on for training rollouts that don't need the host env
+    # mid-episode; never: always use the host act/replay path.
+    device_rollout: str = "auto"   # auto | never
     seed: int = 10
     views: int = 36                # panorama views (12 headings x 3 elevations)
     max_candidates: int = 16       # fixed candidate padding incl. STOP slot
