@@ -1013,7 +1013,9 @@ class Seq2SeqAgent:
             # Padded steps are inert (active=False, rl_mask=0, reward=0)
             # and only exist when all episodes have ended, so the A2C
             # bootstrap through them is exactly zero.
-            n_steps = (8 if len(records) <= 8 else self.episode_len)
+            bucket = min(8, self.episode_len)
+            n_steps = (bucket if len(records) <= bucket
+                       else self.episode_len)
             while len(records) < n_steps:
                 pad = {k: v.copy() for k, v in records[-1].items()}
                 pad["active"] = np.zeros_like(pad["active"])
