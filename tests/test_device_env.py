@@ -105,15 +105,23 @@ def test_device_obs_matches_host_env(world, connectivity_dir):
             break
 
 
-@pytest.mark.parametrize("feedback", ["teacher", "sample"])
+@pytest.mark.parametrize("feedback,max_action", [
+    ("teacher", 4), ("sample", 4),
+    # max_action > 8 exercises the in-program {8, T} bucket cond: the
+    # teacher walk ends within 8 steps (short branch) while the
+    # untrained sampling policy wanders past 8 (long branch), each of
+    # which must match the host's bucket choice and rng folds
+    ("teacher", 12), ("sample", 12),
+])
 def test_device_rollout_grads_match_host(world, connectivity_dir,
-                                         feedback):
+                                         feedback, max_action):
     """The fused device program and the host act/replay path compute the
-    same gradients for the same episodes and rng stream (the device scan
-    and the vmapped-percept replay are the same math)."""
+    same gradients for the same episodes and rng stream (the device
+    act phase and the vmapped-percept replay are the same math)."""
     cfg_kw = dict(encoder_type="Dic", include_vision=True,
                   adain_type="channel", ab_type="a", a_type="sigmoid",
-                  consistent_drop=True, max_action=4, batch_size=2)
+                  consistent_drop=True, max_action=max_action,
+                  batch_size=2)
     data_dir, feature_db, tok = world
 
     def grads_with(mode):
