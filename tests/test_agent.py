@@ -370,8 +370,15 @@ def test_bc_encoder_types(world, connectivity_dir, encoder_type):
     assert len(results) == env.size()
 
 
+@pytest.mark.parametrize("cfg_kw", [
+    {},  # plain EncoderLSTM path
+    # flagship DASA config: Dic encoder + AdaIN channel + consistent drop
+    dict(encoder_type="Dic", include_vision=True, adain_type="channel",
+         ab_type="a", a_type="sigmoid", consistent_drop=True),
+])
 def test_data_parallel_training_matches_single_device(world,
-                                                      connectivity_dir):
+                                                      connectivity_dir,
+                                                      cfg_kw):
     """Listener training sharded over a 4-device data mesh must follow
     the single-device loss trajectory at matched global batch: values
     are identical programs under GSPMD, only the partitioning differs
@@ -380,7 +387,7 @@ def test_data_parallel_training_matches_single_device(world,
 
     from dasa_tpu.parallel import make_mesh
 
-    cfg = tiny_cfg(batch_size=4, max_action=4)
+    cfg = tiny_cfg(batch_size=4, max_action=4, **cfg_kw)
     data_dir, feature_db, depth_db, tok = world
 
     def run(mesh):
