@@ -93,8 +93,17 @@ class Config:
     update_bert: bool = False
     include_vision: bool = False
     use_dropout_vision: bool = False
-    encoder_type: str = "EncoderLSTM"   # EncoderLSTM | Dic (cross-modal)
+    # EncoderLSTM | BEncoder | CEncoder | Dic (cross-modal) |
+    # Transformer | Gpt | BertImg | BertAdd (legacy zoo, models/legacy.py)
+    encoder_type: str = "EncoderLSTM"
     schedule_ratio: float = -1.0
+
+    # Legacy transformer/gpt encoders (tasks/R2R/train.py:795-799; the
+    # reference's widths come from pretrained checkpoints we can't
+    # download, so these are free knobs)
+    legacy_width: int = 256
+    legacy_heads: int = 8
+    legacy_layers: int = 2
 
     # DicEncoder / DicModel (param.py:121-137)
     d_hidden_size: int = 1024

@@ -31,7 +31,11 @@ from dasa_tpu.models.encoder import (
 
 # encoders with no per-step vision input: the whole encoder runs once
 # per episode and the decoder is the plain AttnDecoderLSTM
-PLAIN_ENCODERS = ("EncoderLSTM", "BEncoder", "CEncoder")
+PLAIN_ENCODERS = ("EncoderLSTM", "BEncoder", "CEncoder", "Transformer",
+                  "Gpt")
+# legacy single-stream encoders whose ctx spans the joint
+# [36 vision; L text] token sequence (models/legacy.py)
+JOINT_CTX_ENCODERS = ("BertImg", "BertAdd")
 
 
 class StepInputs(NamedTuple):
@@ -120,6 +124,23 @@ class DasaPolicy(nn.Module):
                 feature_all, cfg.angle_feat_size, ctx_dim=cfg.rnn_dim,
                 dtype=self.dtype)
             dec_hidden = cfg.rnn_dim
+        elif cfg.encoder_type in ("Transformer", "Gpt"):
+            # legacy transformer/gpt text encoders (r2rmodel.py:352-456,
+            # 559-634) on the plain decoder path
+            from dasa_tpu.models.legacy import TransformerTextEncoder
+
+            self.encoder = TransformerTextEncoder(
+                vocab_size=self.vocab_size, width=cfg.legacy_width,
+                heads=cfg.legacy_heads, n_layers=cfg.legacy_layers,
+                hidden_size=cfg.rnn_dim // 2 if cfg.bidir else cfg.rnn_dim,
+                dec_hidden_size=cfg.rnn_dim, dropout_ratio=cfg.dropout,
+                bidirectional=cfg.bidir,
+                causal=cfg.encoder_type == "Gpt", dtype=self.dtype)
+            self.decoder = AttnDecoderLSTM(
+                cfg.aemb, cfg.rnn_dim, cfg.dropout, cfg.featdropout,
+                feature_all, cfg.angle_feat_size, ctx_dim=cfg.rnn_dim,
+                dtype=self.dtype)
+            dec_hidden = cfg.rnn_dim
         elif cfg.agent_type == "mcatt":
             # agent_mcatt: MCAN co-attention encoder + plain decoder at
             # the MCAN hidden width (agent_mcatt.py:125-131,
@@ -139,13 +160,29 @@ class DasaPolicy(nn.Module):
                 cfg.angle_feat_size, ctx_dim=mh,
                 max_input=cfg.max_input, dtype=self.dtype)
             dec_hidden = mh
-        else:  # Dic cross-modal path
-            self.encoder = DicEncoder(
-                bert_config_from(cfg), cfg.d_enc_hidden_size,
-                cfg.d_hidden_size, cfg.d_dropout_ratio,
-                bidirectional=cfg.d_bidirectional,
-                reverse_input=cfg.d_reverse_input, top_lstm=cfg.d_top_lstm,
-                ctx_v=cfg.ctx_v, ctx_v_dim=feature_all, dtype=self.dtype)
+        else:  # cross-modal path (Dic + legacy single-stream encoders)
+            if cfg.encoder_type in JOINT_CTX_ENCODERS:
+                from dasa_tpu.models.legacy import (
+                    BertAddEncoder,
+                    BertImgEncoder,
+                )
+
+                enc_cls = (BertImgEncoder if cfg.encoder_type == "BertImg"
+                           else BertAddEncoder)
+                self.encoder = enc_cls(
+                    bert_config_from(cfg), cfg.d_enc_hidden_size,
+                    cfg.d_hidden_size, cfg.d_dropout_ratio,
+                    bidirectional=cfg.d_bidirectional,
+                    n_vision_tokens=cfg.views, dtype=self.dtype)
+            else:
+                self.encoder = DicEncoder(
+                    bert_config_from(cfg), cfg.d_enc_hidden_size,
+                    cfg.d_hidden_size, cfg.d_dropout_ratio,
+                    bidirectional=cfg.d_bidirectional,
+                    reverse_input=cfg.d_reverse_input,
+                    top_lstm=cfg.d_top_lstm,
+                    ctx_v=cfg.ctx_v, ctx_v_dim=feature_all,
+                    dtype=self.dtype)
             num_dir = 2 if cfg.d_bidirectional else 1
             ctx_dim = (cfg.d_enc_hidden_size * num_dir if cfg.d_top_lstm
                        else (1024 if cfg.d_bert_type == "large" else 768))
@@ -369,6 +406,11 @@ class DasaPolicy(nn.Module):
             h0 = jnp.concatenate([h0, h0], axis=-1)
             c0 = jnp.concatenate([c0, c0], axis=-1)
         percept = {"ctx": ctx, "h0": h0, "c0": c0, "inputs": inputs}
+        if cfg.encoder_type in JOINT_CTX_ENCODERS:
+            # ctx spans [36 vision; L text] tokens — extend the mask
+            batch = valid_mask.shape[0]
+            percept["ctx_valid"] = jnp.concatenate(
+                [jnp.ones((batch, cfg.views), bool), valid_mask], axis=1)
         if cfg.agent_type == "mt":
             percept["v_emb"] = v_emb
         return percept
@@ -388,8 +430,9 @@ class DasaPolicy(nn.Module):
             c=first * c0 + (1 - first) * state.c,
             h1=first * h0 + (1 - first) * state.h1,
         )
+        ctx_valid = percept.get("ctx_valid", valid_mask)
         state, logit, aux = self.decode_step(
-            percept["inputs"], state, percept["ctx"], ~valid_mask,
+            percept["inputs"], state, percept["ctx"], ~ctx_valid,
             deterministic=deterministic,
             already_dropfeat=already_dropfeat, input_noise=input_noise,
             output_noise=output_noise, v_emb=percept.get("v_emb"))

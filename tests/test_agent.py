@@ -436,6 +436,76 @@ def test_variant_agents_train_and_eval(world, connectivity_dir,
     assert len(results) == env.size()
 
 
+@pytest.mark.parametrize("encoder_type", ["Transformer", "Gpt",
+                                          "BertImg", "BertAdd"])
+def test_legacy_encoder_types(world, connectivity_dir, encoder_type):
+    """Legacy encoder zoo (models/legacy.py; reference r2rmodel.py
+    352-456, 559-634, 999-1124, 1172-1331): each --encoderType trains a
+    mixed IL+RL step and covers the split under argmax eval.
+    Transformer/Gpt run the plain once-per-episode path; BertImg/BertAdd
+    run the cross-modal per-step path with a joint [vision; text] ctx."""
+    kw = dict(encoder_type=encoder_type, max_action=4, batch_size=2)
+    if encoder_type in ("Transformer", "Gpt"):
+        kw.update(legacy_width=16, legacy_heads=2, legacy_layers=1)
+    else:
+        kw.update(include_vision=True)
+    cfg = tiny_cfg(**kw)
+    data_dir, feature_db, depth_db, tok = world
+    env, _ = make_env(world, cfg, "train", connectivity_dir)
+    agent = Seq2SeqAgent(cfg, env, feature_db, depth_db=depth_db,
+                         vocab_size=len(tok))
+    agent.zero_grad()
+    agent.accumulate_gradient("sample")
+    agent.optim_step()
+    assert np.isfinite(agent.losses).all()
+    results = agent.test(feedback="argmax")
+    assert len(results) == env.size()
+
+
+def test_gpt_encoder_is_causal(world, connectivity_dir):
+    """The Gpt variant's attention must be causal: a token's encoding
+    cannot change when a LATER token changes (r2rmodel.py:559-634 wraps
+    OpenAI GPT, whose masking is triangular)."""
+    import jax
+
+    from dasa_tpu.models.legacy import TransformerTextEncoder
+
+    import jax.numpy as jnp
+
+    # unidirectional top LSTM so the whole encoder is left-to-right
+    enc = TransformerTextEncoder(
+        vocab_size=50, width=16, heads=2, n_layers=2, hidden_size=8,
+        dec_hidden_size=16, dropout_ratio=0.0, causal=True,
+        bidirectional=False)
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(1, 50, size=(2, 10))
+    valid = np.ones((2, 10), bool)
+    params = enc.init(jax.random.PRNGKey(0), jnp.asarray(tokens),
+                      jnp.asarray(valid))
+    ctx1, _, _ = enc.apply(params, jnp.asarray(tokens),
+                           jnp.asarray(valid))
+    mutated = tokens.copy()
+    mutated[:, -1] = (mutated[:, -1] % 49) + 1  # change only last token
+    ctx2, _, _ = enc.apply(params, jnp.asarray(mutated),
+                           jnp.asarray(valid))
+    np.testing.assert_allclose(np.asarray(ctx1[:, :-1]),
+                               np.asarray(ctx2[:, :-1]),
+                               rtol=1e-5, atol=1e-6)
+    # and the non-causal variant must NOT be prefix-invariant
+    enc_nc = TransformerTextEncoder(
+        vocab_size=50, width=16, heads=2, n_layers=2, hidden_size=8,
+        dec_hidden_size=16, dropout_ratio=0.0, causal=False,
+        bidirectional=False)
+    params_nc = enc_nc.init(jax.random.PRNGKey(0), jnp.asarray(tokens),
+                            jnp.asarray(valid))
+    c1, _, _ = enc_nc.apply(params_nc, jnp.asarray(tokens),
+                            jnp.asarray(valid))
+    c2, _, _ = enc_nc.apply(params_nc, jnp.asarray(mutated),
+                            jnp.asarray(valid))
+    assert np.abs(np.asarray(c1[:, :-1]) - np.asarray(c2[:, :-1])).max() \
+        > 1e-6
+
+
 def test_dyrelu_decoder_agent(world, connectivity_dir):
     """agent_dyrelu wiring: language-conditioned DyReLU on candidate
     features through a training step."""
