@@ -504,26 +504,36 @@ class Seq2SeqAgent:
     # host-driven step loop is latency-bound — this path isn't.
     # ------------------------------------------------------------------
     def _make_device_loss_fn(self, feedback: str, use_noise: bool):
-        """Fused on-device training pass, structured act -> replay.
+        """On-device training pass; the program SHAPE depends on who
+        picks the actions (both shapes are grad-exact vs the host
+        act/replay path — tests/test_device_env.py):
 
-        Phase A computes the trajectory WITHOUT gradients.  Teacher
-        feedback needs no policy at all — the shortest-path walk is pure
-        table gathers; sample/argmax run a forward-only policy scan with
-        an early-exit cond per step.
+        - teacher: act -> batched replay.  The shortest-path walk needs
+          no policy (pure table gathers), and teacher episodes end fast,
+          so the whole forward+backward runs as ONE batched-percept
+          replay over the short bucket — (T*B)-row MXU matmuls instead
+          of T sequential B-row scan steps.  Measured ~2x the fused
+          teacher pass on v5e.
+        - sample/argmax: ONE fused scan computing forward, env
+          transition, and loss per step with an all-ended early-exit
+          cond.  An act+replay split here runs the policy forward twice
+          AND pads the replay to the episode-length bucket; sampled
+          episodes run long (a cold policy wanders for most of
+          max_action), so the padded batched replay LOSES to the fused
+          scan that skips ended steps — measured 628 (fused) vs 488
+          (split) agent-steps/s on v5e (BENCH_NOTES.md)."""
+        if feedback == "teacher":
+            return self._make_device_split_loss_fn(use_noise)
+        return self._make_device_fused_loss_fn(feedback, use_noise)
 
-        Phase B replays the recorded steps through the SAME
-        batched-percept loss body as the host path (_make_loss_fn): the
-        expensive cross-modal encoder runs once over all steps as
-        (T*B)-row MXU matmuls instead of T separate B-row scan
-        iterations, and an in-program bucket cond picks the short replay
-        when every episode ended within `bucket` steps — mirroring the
-        host's bucket choice exactly, so the rng folds line up and the
-        device gradients match the host act/replay path bit-for-bit
-        (tests/test_device_env.py)."""
+    def _make_device_split_loss_fn(self, use_noise: bool):
+        """Teacher-feedback device pass: no-grad gather-only act scan,
+        then the batched-percept replay body of _make_loss_fn, with an
+        in-program bucket cond matching the host's {short, T} choice so
+        rng folds line up bit-for-bit."""
         from dasa_tpu.env.device_env import device_obs, device_transition
 
         cfg = self.cfg
-        policy = self.policy
         T = cfg.max_action
         k = cfg.max_candidates
         bucket = min(8, T)
@@ -537,7 +547,6 @@ class Seq2SeqAgent:
                     start, instr, valid, seq_len, base_rng, env_noise,
                     ml_weight, rl_weight, ent_weight):
             ng = jax.lax.stop_gradient
-            ng_params = {"params": jax.tree_util.tree_map(ng, inner_params)}
             batch = instr.shape[0]
             dist_t, node_base_t = env_arrays[6], env_arrays[8]
             goal_local = goal - node_base_t[goal]
@@ -566,86 +575,23 @@ class Seq2SeqAgent:
                 return (new_node, new_view, ended | stop,
                         reward.astype(jnp.float32))
 
-            # ---- phase A: trajectory (no gradients) ----
-            if feedback == "teacher":
-                def act_step(carry, t):
-                    node, view, ended = carry
-                    sobs = device_obs(env_arrays, node, view, goal,
-                                      start, total_dist, k)
-                    a = sobs["teacher"]
-                    rec = record_from(sobs, ended, t == 0)
-                    rec["action"] = jnp.minimum(a, sobs["cand_n"])
-                    node, view, new_ended, reward = env_and_reward(
-                        sobs, node, view, a, ended)
-                    mask = (~ended).astype(jnp.float32)
-                    return (node, view, new_ended), (rec, reward, mask)
+            # ---- phase A: teacher trajectory (pure gathers, no policy)
+            def act_step(carry, t):
+                node, view, ended = carry
+                sobs = device_obs(env_arrays, node, view, goal,
+                                  start, total_dist, k)
+                a = sobs["teacher"]
+                rec = record_from(sobs, ended, t == 0)
+                rec["action"] = jnp.minimum(a, sobs["cand_n"])
+                node, view, new_ended, reward = env_and_reward(
+                    sobs, node, view, a, ended)
+                mask = (~ended).astype(jnp.float32)
+                return (node, view, new_ended), (rec, reward, mask)
 
-                carry0 = (node0, view0, jnp.zeros((batch,), bool))
-                (node_f, view_f, ended_f), (stacked, rewards, rl_masks) = \
-                    jax.lax.scan(act_step, carry0,
-                                 jnp.arange(T, dtype=jnp.int32))
-            else:
-                cached = policy.apply(
-                    ng_params, instr, valid, seq_len, deterministic=False,
-                    rngs={"dropout": jax.random.fold_in(base_rng,
-                                                        INIT_SALT)},
-                    method=DasaPolicy.encode_text)
-                dec_h = decoder_state_width(cfg)
-                state0 = DecoderState(
-                    h=jnp.zeros((batch, dec_h), self.dtype),
-                    c=jnp.zeros((batch, dec_h), self.dtype),
-                    h1=jnp.zeros((batch, dec_h), self.dtype))
-
-                def model_act(sobs, state, t):
-                    """Forward-only policy step; rng folds identical to
-                    the host _act_fn so the replay reproduces the same
-                    action distribution bit-for-bit."""
-                    inputs = make_step_inputs(cfg, tables, sobs)
-                    step_rng = jax.random.fold_in(base_rng, t)
-                    percept = policy.apply(
-                        ng_params, cached, valid, seq_len, inputs,
-                        deterministic=False, is_test=False,
-                        env_noise=env_noise if use_noise else None,
-                        rngs={"dropout": jax.random.fold_in(step_rng, 0)},
-                        method=DasaPolicy.percept_step)
-                    new_state, logit, _value, _aux = policy.apply(
-                        ng_params, percept, valid, state,
-                        sobs["is_first"], deterministic=False,
-                        already_dropfeat=use_noise,
-                        rngs={"dropout": jax.random.fold_in(step_rng, 1)},
-                        method=DasaPolicy.decode_from_percept)
-                    masked = jnp.where(sobs["logit_mask"], NEG_INF,
-                                       logit.astype(jnp.float32))
-                    if feedback == "sample":
-                        a = jax.random.categorical(
-                            jax.random.fold_in(step_rng, 2), masked,
-                            axis=-1)
-                    else:  # argmax
-                        a = jnp.argmax(masked, axis=-1)
-                    return new_state, a.astype(jnp.int32)
-
-                def act_step(carry, t):
-                    node, view, ended, state = carry
-                    sobs = device_obs(env_arrays, node, view, goal,
-                                      start, total_dist, k)
-                    sobs["is_first"] = jnp.broadcast_to(t == 0, (batch,))
-                    new_state, a = jax.lax.cond(
-                        ended.all(),
-                        lambda s, st, _t: (
-                            st, jnp.full((batch,), k - 1, jnp.int32)),
-                        model_act, sobs, state, t)
-                    rec = record_from(sobs, ended, t == 0)
-                    rec["action"] = jnp.minimum(a, sobs["cand_n"])
-                    node, view, new_ended, reward = env_and_reward(
-                        sobs, node, view, a, ended)
-                    mask = (~ended).astype(jnp.float32)
-                    return (node, view, new_ended, new_state), (
-                        rec, reward, mask)
-
-                carry0 = (node0, view0, jnp.zeros((batch,), bool), state0)
-                (node_f, view_f, ended_f, _sf), (stacked, rewards,
-                                                 rl_masks) = jax.lax.scan(
-                    act_step, carry0, jnp.arange(T, dtype=jnp.int32))
+            carry0 = (node0, view0, jnp.zeros((batch,), bool))
+            (node_f, view_f, ended_f), (stacked, rewards, rl_masks) = \
+                jax.lax.scan(act_step, carry0,
+                             jnp.arange(T, dtype=jnp.int32))
 
             stacked = ng(stacked)
             rewards, rl_masks = ng(rewards), ng(rl_masks)
@@ -675,6 +621,197 @@ class Seq2SeqAgent:
                     lambda: run_body(body_short, bucket),
                     lambda: run_body(body_long, T))
             logs["env_steps"] = env_steps
+            return total_loss, logs
+
+        return loss_fn
+
+    def _make_device_fused_loss_fn(self, feedback: str, use_noise: bool):
+        """Sample/argmax device pass: ONE scan computing forward, env
+        transition, reward, and loss bookkeeping per step, with an
+        all-ended early-exit cond (the A2C tail runs reversed over the
+        recorded outs).  See _make_device_loss_fn for why this beats an
+        act/replay split under sampled feedback."""
+        from dasa_tpu.env.device_env import device_obs, device_transition
+
+        cfg = self.cfg
+        policy = self.policy
+        T = cfg.max_action
+        k = cfg.max_candidates
+
+        def loss_fn(inner_params, tables, env_arrays, node0, view0, goal,
+                    start, instr, valid, seq_len, base_rng, env_noise,
+                    ml_weight, rl_weight, ent_weight):
+            params = {"params": inner_params}
+            cached = policy.apply(
+                params, instr, valid, seq_len, deterministic=False,
+                rngs={"dropout": jax.random.fold_in(base_rng, INIT_SALT)},
+                method=DasaPolicy.encode_text)
+            batch = instr.shape[0]
+            dist_t, node_base_t = env_arrays[6], env_arrays[8]
+            goal_local = goal - node_base_t[goal]
+            total_dist = dist_t[node0, goal_local]
+            # episode-start progress (pm target; = 0 up to the eps term)
+            pm_target = 1.0 - total_dist / (total_dist + 1e-10)
+            dec_h = decoder_state_width(cfg)
+            state0 = DecoderState(
+                h=jnp.zeros((batch, dec_h), self.dtype),
+                c=jnp.zeros((batch, dec_h), self.dtype),
+                h1=jnp.zeros((batch, dec_h), self.dtype))
+
+            def policy_losses(sobs, state, t, active):
+                """Shared per-step forward + IL/RL bookkeeping (the
+                replay body of _make_loss_fn, fed device-built obs)."""
+                inputs = make_step_inputs(cfg, tables, sobs)
+                step_rng = jax.random.fold_in(base_rng, t)
+                percept = policy.apply(
+                    params, cached, valid, seq_len, inputs,
+                    deterministic=False, is_test=False,
+                    env_noise=env_noise if use_noise else None,
+                    rngs={"dropout": jax.random.fold_in(step_rng, 0)},
+                    method=DasaPolicy.percept_step)
+                new_state, logit, value, aux = policy.apply(
+                    params, percept, valid, state, sobs["is_first"],
+                    deterministic=False, already_dropfeat=use_noise,
+                    rngs={"dropout": jax.random.fold_in(step_rng, 1)},
+                    method=DasaPolicy.decode_from_percept)
+                logit = logit.astype(jnp.float32)
+                masked = jnp.where(sobs["logit_mask"], NEG_INF, logit)
+                logp = jax.nn.log_softmax(masked, axis=-1)
+                p = jnp.exp(logp)
+                if feedback == "sample":
+                    a = jax.random.categorical(
+                        jax.random.fold_in(step_rng, 2), masked, axis=-1)
+                else:  # argmax
+                    a = jnp.argmax(masked, axis=-1)
+                a = jax.lax.stop_gradient(a).astype(jnp.int32)
+                a_rec = jnp.minimum(a, sobs["cand_n"])
+                ce = -jnp.take_along_axis(
+                    logp, sobs["teacher"][:, None], axis=1)[:, 0]
+                ce = jnp.where(active, ce, 0.0)
+                logp_a = jnp.take_along_axis(
+                    logp, a_rec[:, None], axis=1)[:, 0]
+                outs = {"ce": ce, "logp_a": logp_a,
+                        "ent": _entropy(logp, p),
+                        "value": value.astype(jnp.float32)}
+                if cfg.pred_back:
+                    back = jnp.where(sobs["logit_mask"], NEG_INF,
+                                     aux["back_logit"].astype(jnp.float32))
+                    blogp = jax.nn.log_softmax(back, axis=-1)
+                    outs["back_ce"] = -jnp.take_along_axis(
+                        blogp, sobs["back_teacher"][:, None], axis=1)[:, 0]
+                if cfg.pred_pm:
+                    pm = aux["pm_score"].astype(jnp.float32)
+                    real = active.any().astype(jnp.float32)
+                    outs["pm_mse"] = jnp.mean((pm - pm_target) ** 2) * real
+                if cfg.agent_type == "advanced":
+                    pp = aux["pred_progress"].astype(jnp.float32)
+                    real = active.any().astype(jnp.float32)
+                    outs["adv_pm_mse"] = (jnp.mean((pp - pm_target) ** 2)
+                                          * real)
+                return new_state, a, outs
+
+            def zero_outs():
+                z = jnp.zeros((batch,), jnp.float32)
+                outs = {"ce": z, "logp_a": z, "ent": z, "value": z,
+                        "reward": z, "rl_mask": z,
+                        "env_steps": jnp.asarray(0, jnp.int32)}
+                if cfg.pred_back:
+                    outs["back_ce"] = z
+                if cfg.pred_pm:
+                    outs["pm_mse"] = jnp.asarray(0.0, jnp.float32)
+                if cfg.agent_type == "advanced":
+                    outs["adv_pm_mse"] = jnp.asarray(0.0, jnp.float32)
+                return outs
+
+            def real_step(carry, t):
+                node, view, ended, state = carry
+                active = ~ended
+                sobs = device_obs(env_arrays, node, view, goal, start,
+                                  total_dist, k)
+                sobs["is_first"] = jnp.broadcast_to(t == 0, (batch,))
+                new_state, a, outs = policy_losses(sobs, state, t, active)
+                new_node, new_view, stop = device_transition(
+                    env_arrays, node, view, a, ended)
+                # reward shaping (rollout loop / agent_dg.py:900-926)
+                dist_new = dist_t[new_node, goal_local]
+                delta = -(dist_new - sobs["distance"])
+                move_r = jnp.where(delta > 0, 1.0,
+                                   jnp.where(delta < 0, -1.0, 0.0))
+                stop_r = jnp.where(dist_new < 3.0, 2.0, -2.0)
+                stop_now = stop & active
+                outs["reward"] = jnp.where(
+                    ended, 0.0, jnp.where(stop_now, stop_r, move_r)
+                ).astype(jnp.float32)
+                outs["rl_mask"] = active.astype(jnp.float32)
+                outs["env_steps"] = active.sum().astype(jnp.int32)
+                return (new_node, new_view, ended | stop, new_state), outs
+
+            if T > 16:  # remat long rollouts (bounded residual memory)
+                real_step = jax.checkpoint(real_step)
+
+            def body(carry, t):
+                ended = carry[2]
+                return jax.lax.cond(ended.all(),
+                                    lambda c, _t: (c, zero_outs()),
+                                    real_step, carry, t)
+
+            ended0 = jnp.zeros((batch,), bool)
+            (node, view, ended, state), outs = jax.lax.scan(
+                body, (node0, view0, ended0, state0),
+                jnp.arange(T, dtype=jnp.int32))
+
+            ml_loss = outs["ce"].sum()
+            forth_loss = ml_loss
+            if cfg.pred_back:
+                ml_loss = ml_loss + cfg.back_weight * outs["back_ce"].sum()
+            logs = {"forth_loss": forth_loss,
+                    "entropy": outs["ent"].sum(),
+                    "env_steps": outs["env_steps"].sum()}
+            if cfg.pred_pm:
+                pm_total = cfg.pm_weight * outs["pm_mse"].sum()
+                ml_loss = ml_loss + pm_total
+                logs["pm_loss"] = pm_total
+            if cfg.agent_type == "advanced":
+                adv_pm = outs["adv_pm_mse"].sum()
+                ml_loss = ml_loss + 10.0 * adv_pm
+                logs["pm_loss"] = adv_pm
+            total_loss = ml_weight * ml_loss / batch
+            logs["ml_loss"] = ml_loss
+
+            # A2C bootstrap at t=T on the final state
+            sobs_f = device_obs(env_arrays, node, view, goal, start,
+                                total_dist, k)
+            sobs_f["is_first"] = jnp.zeros((batch,), bool)
+            _, _, last_outs = policy_losses(sobs_f, state,
+                                            jnp.asarray(T, jnp.int32),
+                                            ~ended)
+            last_value = jax.lax.stop_gradient(last_outs["value"])
+            g0 = jnp.where(ended, 0.0, last_value)
+
+            def rev_step(g, xs):
+                r, v, logp_a, ent, m = xs
+                g = g * cfg.gamma + r
+                adv = jax.lax.stop_gradient(g - v)
+                pol = (-logp_a * adv * m).sum()
+                val = 0.5 * (((g - v) ** 2) * m).sum()
+                step_loss = pol + val + (-ent_weight * ent * m).sum()
+                return g, (step_loss, val)
+
+            _, (step_losses, critic_losses) = jax.lax.scan(
+                rev_step, g0,
+                (outs["reward"], outs["value"], outs["logp_a"],
+                 outs["ent"], outs["rl_mask"]), reverse=True)
+            rl_loss = step_losses.sum()
+            total = outs["rl_mask"].sum()
+            if cfg.normalize_loss == "total":
+                rl_loss = rl_loss / jnp.maximum(total, 1.0)
+            elif cfg.normalize_loss == "batch":
+                rl_loss = rl_loss / batch
+            total_loss = total_loss + rl_weight * rl_loss
+            logs["rl_loss"] = rl_weight * rl_loss
+            logs["critic_loss"] = rl_weight * critic_losses.sum()
+            logs["total"] = total
+            logs["loss"] = total_loss
             return total_loss, logs
 
         return loss_fn
