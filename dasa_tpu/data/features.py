@@ -90,6 +90,31 @@ class FeatureDB:
         return FeatureDB(ids, np.stack(rows))
 
     @staticmethod
+    def from_zip(path: str, views: int = 36) -> "FeatureDB":
+        """Zip-backed feature store (reference tasks/R2R/zipdata.py:1-89
+        serves pretraining images from a zip to dodge small-file IO; here
+        the members are one .npy per viewpoint named
+        ``<scan>_<viewpoint>.npy``, or a single ids.npy/values.npy
+        pair)."""
+        import io
+        import zipfile
+
+        with zipfile.ZipFile(path) as zf:
+            names = sorted(n for n in zf.namelist()
+                           if n.endswith(".npy"))
+            base = {n.rsplit("/", 1)[-1]: n for n in names}
+            if "ids.npy" in base and "values.npy" in base:
+                ids = [str(s) for s in np.load(
+                    io.BytesIO(zf.read(base["ids.npy"])))]
+                values = np.load(io.BytesIO(zf.read(base["values.npy"])))
+                return FeatureDB(ids, values)
+            ids, rows = [], []
+            for name in names:
+                ids.append(name.rsplit("/", 1)[-1][: -len(".npy")])
+                rows.append(np.load(io.BytesIO(zf.read(name))))
+            return FeatureDB(ids, np.stack(rows))
+
+    @staticmethod
     def synthetic(scans: Sequence[str], connectivity_dir: str,
                   dim: int = 2048, views: int = 36, salt: int = 0,
                   scale: float = 1.0) -> "FeatureDB":
@@ -128,4 +153,6 @@ def load_feature_db(path: Optional[str], scans: Sequence[str],
     if path.endswith(".npy"):
         base = path[: -len(".npy")]
         return FeatureDB.from_npy_pair(base + "-index.npy", path)
+    if path.endswith(".zip"):
+        return FeatureDB.from_zip(path, views=views)
     raise ValueError(f"unrecognized feature store: {path}")

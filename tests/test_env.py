@@ -200,3 +200,35 @@ def test_feature_db_tsv_roundtrip(tmp_path, connectivity_dir):
     assert db2.num_rows == 5
     np.testing.assert_allclose(db2.values, db.values[:5], rtol=1e-6)
     assert db2.ids == db.ids[:5]
+
+
+def test_feature_db_zip_roundtrip(tmp_path, connectivity_dir):
+    """Zip-backed store (reference tasks/R2R/zipdata.py): both the
+    per-viewpoint-member layout and the ids/values pair layout."""
+    import io
+    import zipfile
+
+    db = FeatureDB.synthetic([SCAN], connectivity_dir, dim=8)
+
+    def npy_bytes(arr):
+        buf = io.BytesIO()
+        np.save(buf, arr)
+        return buf.getvalue()
+
+    per_vp = str(tmp_path / "per_vp.zip")
+    with zipfile.ZipFile(per_vp, "w") as zf:
+        for lid, block in zip(db.ids[:4], db.values[:4]):
+            zf.writestr(f"feats/{lid}.npy", npy_bytes(block))
+    db2 = FeatureDB.from_zip(per_vp)
+    assert sorted(db2.ids) == sorted(db.ids[:4])
+    for lid in db.ids[:4]:
+        scan, vp = lid.split("_")
+        np.testing.assert_allclose(db2.get(scan, vp), db.get(scan, vp))
+
+    pair = str(tmp_path / "pair.zip")
+    with zipfile.ZipFile(pair, "w") as zf:
+        zf.writestr("ids.npy", npy_bytes(np.asarray(db.ids)))
+        zf.writestr("values.npy", npy_bytes(db.values))
+    db3 = FeatureDB.from_zip(pair)
+    assert db3.ids == db.ids
+    np.testing.assert_allclose(db3.values, db.values)
