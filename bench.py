@@ -54,6 +54,7 @@ def main():
         lr=1e-4, use_lr_scheduler=True, ml_weight=0.2,
         connectivity_dir=CONNECTIVITY,
         compute_dtype="bfloat16",
+        remat=os.environ.get("DASA_BENCH_REMAT", "auto"),
     )
     if fast:  # plumbing smoke for CPU runs, not a benchmark
         cfg = cfg.replace(d_la_layers=1, d_vl_layers=1, batch_size=4,
@@ -86,9 +87,12 @@ def main():
         agent.optim_step()
 
     # warmup: compile the programs the timed loop will use (device path:
-    # the two fused rollout-grad programs + tree-add + apply)
+    # the two rollout-grad programs, compiled concurrently, + tree-add
+    # + apply)
     t0 = time.time()
-    if not agent.use_device_rollout():
+    if agent.use_device_rollout():
+        agent.precompile_device()
+    else:
         agent.precompile_replay(cfg.batch_size)
     one_iter()
     float(np.asarray(agent.losses[-1]))  # force through the async queue

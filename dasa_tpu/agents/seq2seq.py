@@ -328,7 +328,8 @@ class Seq2SeqAgent:
             # remat long replays only: recomputing percepts during
             # backward keeps 35 steps of encoder activations out of HBM;
             # short buckets fit and skip the recompute FLOPs
-            if n_steps > 16:
+            if cfg.remat == "always" or (cfg.remat == "auto"
+                                         and n_steps > 16):
                 percept_one = jax.checkpoint(percept_one)
             percepts = jax.vmap(percept_one)(all_sobs, steps_ax)
 
@@ -528,17 +529,20 @@ class Seq2SeqAgent:
 
     def _make_device_split_loss_fn(self, use_noise: bool):
         """Teacher-feedback device pass: no-grad gather-only act scan,
-        then the batched-percept replay body of _make_loss_fn, with an
-        in-program bucket cond matching the host's {short, T} choice so
-        rng folds line up bit-for-bit."""
+        then ONE batched-percept replay (the body of _make_loss_fn).
+
+        The program is sized to the dataset: a teacher walk takes at
+        most max(len(item.path)) steps (shortest-path moves + STOP), so
+        the replay pads to that bound instead of max_action — at the
+        headline config that is an 8-step replay instead of a 35-step
+        one, below the remat threshold.  Padded steps are fully masked,
+        so gradients are unchanged (tests/test_device_env.py)."""
         from dasa_tpu.env.device_env import device_obs, device_transition
 
         cfg = self.cfg
-        T = cfg.max_action
+        T = self._teacher_len()
         k = cfg.max_candidates
-        bucket = min(8, T)
-        body_short = self._make_loss_fn(use_noise, bucket)
-        body_long = self._make_loss_fn(use_noise, T) if T > bucket else None
+        body = self._make_loss_fn(use_noise, T)
         REC_KEYS = ("feat_row", "view_index", "heading", "elevation",
                     "cand_point_id", "cand_heading", "cand_elevation",
                     "cand_n", "teacher", "back_teacher", "logit_mask")
@@ -602,28 +606,25 @@ class Seq2SeqAgent:
             final_sobs = record_from(sobs_f, ended_f, False)
             final_sobs["action"] = jnp.zeros((batch,), jnp.int32)
 
-            # ---- phase B: batched replay, host-matched bucket choice ----
-            def run_body(body, n):
-                cut = jax.tree_util.tree_map(lambda x: x[:n], stacked)
-                return body(inner_params, tables, instr, valid, seq_len,
-                            cut, final_sobs, rewards[:n], rl_masks[:n],
-                            ended_f, pm_target, base_rng, env_noise,
-                            ml_weight, rl_weight, ent_weight)
-
-            if body_long is None:
-                total_loss, logs = run_body(body_short, bucket)
-            else:
-                # short iff no episode was still active at step `bucket`
-                # (== the host's len(records) <= bucket rule)
-                short = ~stacked["active"][bucket:].any()
-                total_loss, logs = jax.lax.cond(
-                    short,
-                    lambda: run_body(body_short, bucket),
-                    lambda: run_body(body_long, T))
+            # ---- phase B: one batched replay over the teacher bound ----
+            total_loss, logs = body(
+                inner_params, tables, instr, valid, seq_len, stacked,
+                final_sobs, rewards, rl_masks, ended_f, pm_target,
+                base_rng, env_noise, ml_weight, rl_weight, ent_weight)
             logs["env_steps"] = env_steps
             return total_loss, logs
 
         return loss_fn
+
+    def _teacher_len(self) -> int:
+        """Step bound for teacher-forced episodes: the longest dataset
+        path (moves = shortest-path hops <= len(path)-1, + STOP), +1
+        margin, capped at max_action."""
+        T = self.cfg.max_action
+        if self.env is None or not getattr(self.env, "data", None):
+            return T
+        max_path = max(len(item["path"]) for item in self.env.data)
+        return min(T, max_path + 1)
 
     def _make_device_fused_loss_fn(self, feedback: str, use_noise: bool):
         """Sample/argmax device pass: ONE scan computing forward, env
@@ -746,7 +747,9 @@ class Seq2SeqAgent:
                 outs["env_steps"] = active.sum().astype(jnp.int32)
                 return (new_node, new_view, ended | stop, new_state), outs
 
-            if T > 16:  # remat long rollouts (bounded residual memory)
+            # remat long rollouts (bounded residual memory) unless the
+            # config trades HBM for the backward recompute FLOPs
+            if cfg.remat == "always" or (cfg.remat == "auto" and T > 16):
                 real_step = jax.checkpoint(real_step)
 
             def body(carry, t):
@@ -817,7 +820,11 @@ class Seq2SeqAgent:
         return loss_fn
 
     def _device_grad_fn(self, feedback: str, use_noise: bool):
-        key = ("devgrad", feedback, use_noise)
+        # the teacher program is sized to the current env's longest path
+        # (_teacher_len), which changes when the trainer swaps the
+        # org/aug env — key the cache on it
+        t_len = self._teacher_len() if feedback == "teacher" else 0
+        key = ("devgrad", feedback, use_noise, t_len)
         if key not in self._jit_cache:
             loss_fn = self._make_device_loss_fn(feedback, use_noise)
 
@@ -831,12 +838,41 @@ class Seq2SeqAgent:
             self._jit_cache[key] = run
         return self._jit_cache[key]
 
-    def _device_env_tables(self):
-        if getattr(self, "_dev_env", None) is None:
-            from dasa_tpu.env.device_env import DeviceEnvTables
+    def _device_grad_acc_fn(self, feedback: str, use_noise: bool):
+        """Rollout-grad variant that adds carried-in gradients inside
+        the program (XLA fuses the add into the backward's grad writes),
+        replacing the separate tree-add dispatch between the teacher and
+        sample passes of one optimizer iteration."""
+        t_len = self._teacher_len() if feedback == "teacher" else 0
+        key = ("devgradacc", feedback, use_noise, t_len)
+        if key not in self._jit_cache:
+            loss_fn = self._make_device_loss_fn(feedback, use_noise)
 
-            self._dev_env = DeviceEnvTables.build(self.env,
-                                                  self.cfg.max_candidates)
+            @functools.partial(jax.jit, donate_argnums=(3,))
+            def run(params, tables, env_arrays, grads_in, *args):
+                (loss, logs), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params["params"], tables,
+                                           env_arrays, *args)
+                grads = jax.tree_util.tree_map(jnp.add, grads, grads_in)
+                return grads, logs
+
+            self._jit_cache[key] = run
+        return self._jit_cache[key]
+
+    def _device_env_tables(self):
+        """Device tables for the CURRENT env (the trainer swaps org/aug
+        envs mid-training — cache per env object, holding a strong ref
+        so ids can't be recycled)."""
+        from dasa_tpu.env.device_env import DeviceEnvTables
+
+        cache = getattr(self, "_dev_env_cache", None)
+        if cache is None:
+            cache = self._dev_env_cache = {}
+        key = id(self.env)
+        if key not in cache:
+            cache[key] = (self.env, DeviceEnvTables.build(
+                self.env, self.cfg.max_candidates))
+        self._dev_env = cache[key][1]
         return self._dev_env
 
     def use_device_rollout(self) -> bool:
@@ -847,17 +883,14 @@ class Seq2SeqAgent:
         return not self.cfg.submit and getattr(self.env, "graphs", None) \
             is not None
 
-    def device_rollout(self, train_ml: Optional[float] = None,
-                       train_rl: bool = True,
-                       feedback: Optional[str] = None) -> None:
-        """One training episode batch, fully on device: dispatches a
-        single fused act+grad program and accumulates its gradients;
-        fetches nothing."""
+    def _device_rollout_args(self, feedback: str,
+                             train_ml: Optional[float],
+                             train_rl: bool):
+        """Reset the env to the next minibatch and assemble the fused
+        rollout-grad program's inputs (advances the rollout rng)."""
         from dasa_tpu.env.device_env import episode_inputs
 
         cfg = self.cfg
-        feedback = feedback or self.feedback
-        train_rl = train_rl and feedback == "sample"
         env = self.env
         env.reset()
         dev = self._device_env_tables()
@@ -873,7 +906,7 @@ class Seq2SeqAgent:
         instr = self._put_batch(env._static["instr"])
         valid = self._put_batch(~env._static["pad_mask"])
         seq_len = self._put_batch(env._static["seq_len"])
-        args = (self._put_batch(ep["node0"]), self._put_batch(ep["view0"]),
+        return (self._put_batch(ep["node0"]), self._put_batch(ep["view0"]),
                 self._put_batch(ep["goal"]), self._put_batch(ep["start"]),
                 instr, valid, seq_len, base_rng, env_noise,
                 jnp.asarray(train_ml if train_ml is not None else 0.0,
@@ -881,13 +914,70 @@ class Seq2SeqAgent:
                 jnp.asarray(1.0 if train_rl else 0.0, jnp.float32),
                 jnp.asarray(0.01 if (train_rl and feedback == "sample")
                             else 0.0, jnp.float32))
-        grads, logs = self._device_grad_fn(feedback, use_noise)(
-            self.params, self.tables, dev.arrays(), *args)
+
+    def precompile_device(self, feedbacks=("teacher", "sample")) -> None:
+        """Compile the fused rollout-grad programs CONCURRENTLY (one
+        thread per program).  XLA compilation releases the GIL and the
+        axon remote-compile service accepts independent programs in
+        parallel, so this overlaps the two multi-minute compiles that
+        otherwise serialize at the first training iteration.  Gradients
+        from the warmup dispatches are discarded."""
+        import threading
+
+        use_noise = self.cfg.consistent_drop
+        results: Dict[str, Exception] = {}
+        # the host env is stateful — build every program's args here,
+        # sequentially; only the (thread-safe) jit dispatch runs in
+        # parallel
+        prebuilt = {fb: self._device_rollout_args(
+            fb, 0.2 if fb == "teacher" else None, fb == "sample")
+            for fb in feedbacks}
+
+        def compile_one(fb):
+            try:
+                if fb == "teacher":  # runs first in an iteration
+                    grads, logs = self._device_grad_fn(fb, use_noise)(
+                        self.params, self.tables, self._dev_env.arrays(),
+                        *prebuilt[fb])
+                else:  # later passes accumulate inside the program
+                    zero = jax.tree_util.tree_map(
+                        jnp.zeros_like, self.params["params"])
+                    grads, logs = self._device_grad_acc_fn(
+                        fb, use_noise)(
+                        self.params, self.tables, self._dev_env.arrays(),
+                        zero, *prebuilt[fb])
+                jax.block_until_ready(logs["loss"])
+            except Exception as e:  # surface in the caller thread
+                results[fb] = e
+
+        threads = [threading.Thread(target=compile_one, args=(fb,))
+                   for fb in feedbacks]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for fb, err in results.items():
+            raise RuntimeError(f"precompile({fb}) failed") from err
+
+    def device_rollout(self, train_ml: Optional[float] = None,
+                       train_rl: bool = True,
+                       feedback: Optional[str] = None) -> None:
+        """One training episode batch, fully on device: dispatches a
+        single fused act+grad program and accumulates its gradients;
+        fetches nothing."""
+        cfg = self.cfg
+        feedback = feedback or self.feedback
+        train_rl = train_rl and feedback == "sample"
+        use_noise = cfg.consistent_drop
+        args = self._device_rollout_args(feedback, train_ml, train_rl)
         if self._grad_accum is None:
-            self._grad_accum = grads
-        else:
-            self._grad_accum = self._tree_add_fn()(self._grad_accum,
-                                                   grads)
+            grads, logs = self._device_grad_fn(feedback, use_noise)(
+                self.params, self.tables, self._dev_env.arrays(), *args)
+        else:  # accumulate inside the program (no tree-add dispatch)
+            grads, logs = self._device_grad_acc_fn(feedback, use_noise)(
+                self.params, self.tables, self._dev_env.arrays(),
+                self._grad_accum, *args)
+        self._grad_accum = grads
         self._env_steps_log.append(logs["env_steps"])
         for k2, v in logs.items():
             if k2 != "env_steps":

@@ -203,6 +203,11 @@ class Config:
     vocab_path: Optional[str] = None
     log_dir: str = "snap"
     compute_dtype: str = "bfloat16"   # activations dtype on TPU
+    # rematerialization of long-rollout forwards during backward:
+    # auto = remat when the program spans > 16 steps (bounded residual
+    # HBM); never = keep all activations (trades HBM for the recompute
+    # FLOPs); always = remat any length
+    remat: str = "auto"
     param_dtype: str = "float32"
     use_pallas: str = "auto"          # auto | never | always
     snap_dir: str = "snap"

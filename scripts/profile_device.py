@@ -33,6 +33,7 @@ def main():
         max_action=35, batch_size=20, featdropout=0.4, optim="rms",
         lr=1e-4, use_lr_scheduler=True, ml_weight=0.2,
         connectivity_dir=CONNECTIVITY, compute_dtype="bfloat16",
+        remat=os.environ.get("DASA_BENCH_REMAT", "auto"),
     )
     scans = ["17DRP5sb8fy", "2t7WUuJeko7"]
     data = generate_synthetic_dataset(scans, 40,
