@@ -54,7 +54,12 @@ def main():
         lr=1e-4, use_lr_scheduler=True, ml_weight=0.2,
         connectivity_dir=CONNECTIVITY,
         compute_dtype="bfloat16",
-        remat=os.environ.get("DASA_BENCH_REMAT", "auto"),
+        # the headline config's 35-step fused scan fits HBM without
+        # rematerialization; skipping the backward recompute measured
+        # 817 -> 1125 agent-steps/s (BENCH_NOTES.md).  Config default
+        # stays "auto" (remat when >16 steps) as the safe setting for
+        # larger models.
+        remat=os.environ.get("DASA_BENCH_REMAT", "never"),
     )
     if fast:  # plumbing smoke for CPU runs, not a benchmark
         cfg = cfg.replace(d_la_layers=1, d_vl_layers=1, batch_size=4,
