@@ -13,8 +13,20 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 from dataclasses import dataclass, field
 from typing import Optional
+
+
+def _default_connectivity_dir() -> str:
+    """$DASA_CONNECTIVITY_DIR > ./connectivity (see
+    scripts/fetch_connectivity.py) > the reference checkout."""
+    env = os.environ.get("DASA_CONNECTIVITY_DIR")
+    if env:
+        return env
+    if os.path.isdir("connectivity"):
+        return "connectivity"
+    return "/root/reference/connectivity"
 
 
 @dataclass(frozen=True)
@@ -197,7 +209,10 @@ class Config:
     max_candidates: int = 16       # fixed candidate padding incl. STOP slot
                                    # (max graph degree across 90 scans is 13)
     data_dir: str = "data/task"    # R2R_{split}.json location
-    connectivity_dir: str = "/root/reference/connectivity"
+    # resolution order: explicit flag > $DASA_CONNECTIVITY_DIR >
+    # ./connectivity (scripts/fetch_connectivity.py) > the reference
+    # checkout present in this container
+    connectivity_dir: str = ""
     img_features_path: Optional[str] = None   # .npz feature store; None => synthetic
     depth_features_path: Optional[str] = None
     vocab_path: Optional[str] = None
@@ -223,6 +238,9 @@ class Config:
     def __post_init__(self):
         if self.angle_feat_size % 4 != 0:
             raise ValueError("angle_feat_size must be a multiple of 4")
+        if not self.connectivity_dir:
+            object.__setattr__(self, "connectivity_dir",
+                               _default_connectivity_dir())
 
     @property
     def feature_all_size(self) -> int:

@@ -4,8 +4,11 @@ teacher-grad and sample-grad fused programs, grad tree-add, and the
 optimizer apply separately, then full iterations (bench.py workload)."""
 
 import os
+import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
