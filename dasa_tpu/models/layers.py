@@ -118,6 +118,7 @@ class LSTM(nn.Module):
             split_rngs={"params": False},
             in_axes=1,
             out_axes=1,
+            unroll=8,
         )
         carry, ys = scan(cell, init_carry, (xw, mask))
         if self.reverse:
@@ -128,21 +129,61 @@ class LSTM(nn.Module):
 class BiLSTM(nn.Module):
     """Bidirectional masked LSTM; outputs concat(fwd, bwd) features and
     final states concat(bwd, fwd) matching torch's enc_h_t[-1],[-2] order
-    (model.py:66-68)."""
+    (model.py:66-68).
+
+    Both directions run as ONE fused scan over stacked (2, B) states
+    (the backward direction consumes the time-flipped stream): half the
+    sequential hidden-recurrence matmuls of two independent scans.  This
+    recurrence dominates the per-step policy cost inside fused device
+    rollouts — ablation in BENCH_NOTES.md — so the (2B)-row batched form
+    matters more than it looks."""
 
     features: int  # per-direction hidden size
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask):
-        out_f, (h_f, c_f) = LSTM(self.features, dtype=self.dtype,
-                                 name="fwd")(x, mask)
-        out_b, (h_b, c_b) = LSTM(self.features, reverse=True,
-                                 dtype=self.dtype, name="bwd")(x, mask)
+        feats = self.features
+        cell_f = LstmCell(feats, x.shape[-1], self.dtype, name="fwd_cell")
+        cell_b = LstmCell(feats, x.shape[-1], self.dtype, name="bwd_cell")
+        x_rev = jnp.flip(x, axis=1)
+        m_rev = jnp.flip(mask, axis=1)
+        # input projections stay hoisted: one (B*T)-row matmul each
+        xw = jnp.stack([cell_f.input_proj(x),
+                        cell_b.input_proj(x_rev)], 0)      # (2,B,T,4H)
+        masks = jnp.stack([mask, m_rev], 0)                # (2,B,T)
+        wh = jnp.stack([cell_f.wh, cell_b.wh], 0).astype(self.dtype)
+        bias = jnp.stack([cell_f.b, cell_b.b], 0).astype(self.dtype)
+        batch = x.shape[0]
+        zeros = jnp.zeros((2, batch, feats), self.dtype)
+
+        def step(carry, xs):
+            h, c = carry
+            xw_t, m_t = xs                                 # (2,B,4H)
+            gates = (xw_t
+                     + jnp.einsum("dbh,dhg->dbg",
+                                  h.astype(self.dtype), wh)
+                     + bias[:, None])
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            new_c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+            new_h = jax.nn.sigmoid(o) * jnp.tanh(new_c)
+            m = m_t[..., None].astype(new_h.dtype)
+            return ((m * new_h + (1 - m) * h,
+                     m * new_c + (1 - m) * c), new_h * m)
+
+        # unroll: the per-token work is a (2B)-row matmul + elementwise —
+        # loop overhead rivals compute, so give XLA 8 tokens per
+        # iteration to schedule across
+        (h_t, c_t), ys = jax.lax.scan(
+            step, (zeros, zeros),
+            (jnp.moveaxis(xw, 2, 0), jnp.moveaxis(masks, 2, 0)),
+            unroll=8)
+        out_f = jnp.moveaxis(ys[:, 0], 0, 1)               # (B,T,H)
+        out_b = jnp.flip(jnp.moveaxis(ys[:, 1], 0, 1), axis=1)
         ctx = jnp.concatenate([out_f, out_b], axis=-1)
-        h_t = jnp.concatenate([h_b, h_f], axis=-1)
-        c_t = jnp.concatenate([c_b, c_f], axis=-1)
-        return ctx, (h_t, c_t)
+        h_cat = jnp.concatenate([h_t[1], h_t[0]], axis=-1)  # (bwd, fwd)
+        c_cat = jnp.concatenate([c_t[1], c_t[0]], axis=-1)
+        return ctx, (h_cat, c_cat)
 
 
 class SoftDotAttention(nn.Module):

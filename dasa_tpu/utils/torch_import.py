@@ -113,23 +113,21 @@ def translate_lstm(state: Dict[str, np.ndarray], torch_base: str,
     """torch nn.LSTM (single layer) -> our LSTM/BiLSTM cell params."""
     out = {}
 
-    def one(dir_suffix, flax_dir):
+    def one(dir_suffix, cell_path):
         wi = state[f"{torch_base}.weight_ih_l0{dir_suffix}"]
         wh = state[f"{torch_base}.weight_hh_l0{dir_suffix}"]
         b = (np.asarray(state[f"{torch_base}.bias_ih_l0{dir_suffix}"])
              + np.asarray(state[f"{torch_base}.bias_hh_l0{dir_suffix}"]))
-        base = tuple(flax_base.split("/"))
-        if flax_dir:
-            base = base + (flax_dir,)
-        out[base + ("LstmCell_0", "wi")] = _t(wi)
-        out[base + ("LstmCell_0", "wh")] = _t(wh)
-        out[base + ("LstmCell_0", "b")] = b
+        base = tuple(flax_base.split("/")) + cell_path
+        out[base + ("wi",)] = _t(wi)
+        out[base + ("wh",)] = _t(wh)
+        out[base + ("b",)] = b
 
-    if bidirectional:
-        one("", "fwd")
-        one("_reverse", "bwd")
+    if bidirectional:  # BiLSTM owns its direction cells directly
+        one("", ("fwd_cell",))
+        one("_reverse", ("bwd_cell",))
     else:
-        one("", None)
+        one("", ("LstmCell_0",))
     return out
 
 

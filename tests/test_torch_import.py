@@ -126,15 +126,15 @@ def test_encoder_import_roundtrip():
         add_ln(f"{base}.{stream}_output.LayerNorm",
                f"{fx}/{stream}_output/LayerNorm")
     # top LSTM + projections
-    for d, fdir in (("", "fwd"), ("_reverse", "bwd")):
+    for d, fdir in (("", "fwd_cell"), ("_reverse", "bwd_cell")):
         name_map[f"lstm.weight_ih_l0{d}"] = (
-            f"lstm/{fdir}/LstmCell_0/wi", "linear_w")
+            f"lstm/{fdir}/wi", "linear_w")
         name_map[f"lstm.weight_hh_l0{d}"] = (
-            f"lstm/{fdir}/LstmCell_0/wh", "linear_w")
+            f"lstm/{fdir}/wh", "linear_w")
         name_map[f"lstm.bias_ih_l0{d}"] = (
-            f"lstm/{fdir}/LstmCell_0/b", "lstm_b")
+            f"lstm/{fdir}/b", "lstm_b")
         name_map[f"lstm.bias_hh_l0{d}"] = (
-            f"lstm/{fdir}/LstmCell_0/b", "lstm_b")
+            f"lstm/{fdir}/b", "lstm_b")
     # flax materializes params lazily: with top_lstm=True only the
     # lstm2decoder projections exist (the reference creates all four
     # eagerly; unused ones are simply skipped at import)
@@ -152,9 +152,9 @@ def test_encoder_import_roundtrip():
         new_params["params"]["encoder"]["bert"]["pooler"]["dense"]
         ["kernel"])
     np.testing.assert_allclose(new, old + 1.0, atol=1e-6)
-    old_wi = np.asarray(enc["lstm"]["fwd"]["LstmCell_0"]["wi"])
+    old_wi = np.asarray(enc["lstm"]["fwd_cell"]["wi"])
     new_wi = np.asarray(
-        new_params["params"]["encoder"]["lstm"]["fwd"]["LstmCell_0"]["wi"])
+        new_params["params"]["encoder"]["lstm"]["fwd_cell"]["wi"])
     np.testing.assert_allclose(new_wi, old_wi + 1.0, atol=1e-6)
 
 
