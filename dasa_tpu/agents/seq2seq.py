@@ -659,17 +659,29 @@ class Seq2SeqAgent:
                 c=jnp.zeros((batch, dec_h), self.dtype),
                 h1=jnp.zeros((batch, dec_h), self.dtype))
 
+            def percept_apply(inner, cached_in, inputs, drop_rng):
+                return policy.apply(
+                    {"params": inner}, cached_in, valid, seq_len, inputs,
+                    deterministic=False, is_test=False,
+                    env_noise=env_noise if use_noise else None,
+                    rngs={"dropout": drop_rng},
+                    method=DasaPolicy.percept_step)
+
+            if cfg.remat == "percept":
+                # middle remat point: recompute only the encoder block
+                # during backward; its residuals (per-token activations
+                # of the cross layers + top LSTM) dominate the scan's
+                # saved-state traffic, while its inputs are small
+                percept_apply = jax.checkpoint(percept_apply)
+
             def policy_losses(sobs, state, t, active):
                 """Shared per-step forward + IL/RL bookkeeping (the
                 replay body of _make_loss_fn, fed device-built obs)."""
                 inputs = make_step_inputs(cfg, tables, sobs)
                 step_rng = jax.random.fold_in(base_rng, t)
-                percept = policy.apply(
-                    params, cached, valid, seq_len, inputs,
-                    deterministic=False, is_test=False,
-                    env_noise=env_noise if use_noise else None,
-                    rngs={"dropout": jax.random.fold_in(step_rng, 0)},
-                    method=DasaPolicy.percept_step)
+                percept = percept_apply(
+                    inner_params, cached, inputs,
+                    jax.random.fold_in(step_rng, 0))
                 new_state, logit, value, aux = policy.apply(
                     params, percept, valid, state, sobs["is_first"],
                     deterministic=False, already_dropfeat=use_noise,

@@ -219,9 +219,11 @@ class Config:
     log_dir: str = "snap"
     compute_dtype: str = "bfloat16"   # activations dtype on TPU
     # rematerialization of long-rollout forwards during backward:
-    # auto = remat when the program spans > 16 steps (bounded residual
-    # HBM); never = keep all activations (trades HBM for the recompute
-    # FLOPs); always = remat any length
+    # auto = remat whole steps when the program spans > 16 steps
+    # (bounded residual HBM); never = keep all activations (trades HBM
+    # for the recompute FLOPs); always = remat whole steps at any
+    # length; percept = recompute only the per-step encoder block
+    # (saves its small inputs instead of its large internals)
     remat: str = "auto"
     param_dtype: str = "float32"
     use_pallas: str = "auto"          # auto | never | always

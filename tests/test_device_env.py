@@ -143,6 +143,32 @@ def test_device_rollout_grads_match_host(world, connectivity_dir,
                                    rtol=2e-4, atol=1e-6)
 
 
+def test_remat_modes_are_grad_exact(world, connectivity_dir):
+    """remat never/percept/always select WHERE activations are saved vs
+    recomputed during backward — a pure performance knob; gradients must
+    be identical."""
+    cfg_kw = dict(encoder_type="Dic", include_vision=True,
+                  adain_type="channel", ab_type="a", a_type="sigmoid",
+                  consistent_drop=True, max_action=4, batch_size=2)
+    data_dir, feature_db, tok = world
+
+    def grads_with(remat):
+        cfg = tiny_cfg(remat=remat, **cfg_kw)
+        env = make_env(world, cfg, connectivity_dir)
+        agent = Seq2SeqAgent(cfg, env, feature_db, vocab_size=len(tok),
+                             rng_seed=5)
+        agent.zero_grad()
+        agent.device_rollout(train_ml=None, train_rl=True,
+                             feedback="sample")
+        return jax.tree_util.tree_leaves(agent._grad_accum)
+
+    base = grads_with("never")
+    for mode in ("percept", "always"):
+        for a, b in zip(base, grads_with(mode)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-5, atol=1e-7)
+
+
 def test_device_rollout_training_reduces_loss(world, connectivity_dir):
     cfg = tiny_cfg(max_action=4)
     env = make_env(world, cfg, connectivity_dir)
