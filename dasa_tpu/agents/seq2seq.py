@@ -771,6 +771,9 @@ class Seq2SeqAgent:
                                     real_step, carry, t)
 
             ended0 = jnp.zeros((batch,), bool)
+            # NOTE: unrolling this outer scan measured SLOWER (972 vs
+            # ~1100 agent-steps/s at unroll=5) — the early-exit cond
+            # carries the win here, not DMA batching
             (node, view, ended, state), outs = jax.lax.scan(
                 body, (node0, view0, ended0, state0),
                 jnp.arange(T, dtype=jnp.int32))
