@@ -1139,7 +1139,11 @@ class Seq2SeqAgent:
         base_rng = jax.random.fold_in(self._base_rng, self._rollout_counter)
         self._rollout_counter += 1
 
-        use_noise = cfg.consistent_drop or (speaker is not None)
+        # the reference draws env-drop noise through an nn.Dropout, so at
+        # eval (decoder.eval()) the mask is all-ones (agent_dg.py:657,
+        # 677) — gate on `training`, not just the config flag
+        use_noise = (training and cfg.consistent_drop) or (
+            speaker is not None)
         env_noise = self._noise_fn()(base_rng) if use_noise else jnp.ones(
             (cfg.feature_size,), self.dtype)
         if self.mesh is not None:

@@ -506,6 +506,27 @@ def test_gpt_encoder_is_causal(world, connectivity_dir):
         > 1e-6
 
 
+def test_eval_ignores_env_drop(world, connectivity_dir):
+    """At eval the reference's env-drop mask is identity (noise comes
+    from an nn.Dropout in eval mode, agent_dg.py:657/677), so argmax
+    trajectories must not depend on the consistent_drop flag."""
+    data_dir, feature_db, depth_db, tok = world
+
+    def results_with(consistent):
+        cfg = tiny_cfg(encoder_type="Dic", include_vision=True,
+                       adain_type="channel", ab_type="a",
+                       a_type="sigmoid", consistent_drop=consistent,
+                       max_action=4, batch_size=2)
+        env, _ = make_env(world, cfg, "train", connectivity_dir)
+        agent = Seq2SeqAgent(cfg, env, feature_db, depth_db=depth_db,
+                             vocab_size=len(tok), rng_seed=7)
+        return {r["instr_id"]: r["trajectory"]
+                for r in agent.test(feedback="argmax")}
+
+    a, b = results_with(True), results_with(False)
+    assert a == b
+
+
 def test_dyrelu_decoder_agent(world, connectivity_dir):
     """agent_dyrelu wiring: language-conditioned DyReLU on candidate
     features through a training step."""
