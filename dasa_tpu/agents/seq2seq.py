@@ -1427,6 +1427,130 @@ class Seq2SeqAgent:
             self.optim_step()
 
     # ------------------------------------------------------------------
+    # device-resident evaluation: the whole argmax episode (policy,
+    # transitions) runs as ONE jitted program per batch; the host fetches
+    # the (T, B) node/view/action record once and rebuilds the
+    # trajectories — instead of 2 device round-trips per step
+    # ------------------------------------------------------------------
+    def _device_eval_fn(self):
+        from dasa_tpu.env.device_env import device_obs, device_transition
+
+        key = "deveval"
+        if key not in self._jit_cache:
+            cfg = self.cfg
+            policy = self.policy
+            T = cfg.max_action
+            k = cfg.max_candidates
+
+            @jax.jit
+            def run(params, tables, env_arrays, node0, view0, goal,
+                    start, instr, valid, seq_len):
+                cached = policy.apply(params, instr, valid, seq_len,
+                                      deterministic=True,
+                                      method=DasaPolicy.encode_text)
+                batch = instr.shape[0]
+                dist_t, node_base_t = env_arrays[6], env_arrays[8]
+                goal_local = goal - node_base_t[goal]
+                total_dist = dist_t[node0, goal_local]
+                dec_h = decoder_state_width(cfg)
+                state0 = DecoderState(
+                    h=jnp.zeros((batch, dec_h), self.dtype),
+                    c=jnp.zeros((batch, dec_h), self.dtype),
+                    h1=jnp.zeros((batch, dec_h), self.dtype))
+
+                def model_act(sobs, state):
+                    inputs = make_step_inputs(cfg, tables, sobs)
+                    percept = policy.apply(
+                        params, cached, valid, seq_len, inputs,
+                        deterministic=True, is_test=True,
+                        method=DasaPolicy.percept_step)
+                    new_state, logit, _v, _aux = policy.apply(
+                        params, percept, valid, state, sobs["is_first"],
+                        deterministic=True,
+                        method=DasaPolicy.decode_from_percept)
+                    masked = jnp.where(sobs["logit_mask"], NEG_INF,
+                                       logit.astype(jnp.float32))
+                    return new_state, jnp.argmax(masked,
+                                                 axis=-1).astype(jnp.int32)
+
+                def step(carry, t):
+                    node, view, ended, state = carry
+                    sobs = device_obs(env_arrays, node, view, goal,
+                                      start, total_dist, k)
+                    sobs["is_first"] = jnp.broadcast_to(t == 0, (batch,))
+                    new_state, a = jax.lax.cond(
+                        ended.all(),
+                        lambda s, st: (
+                            st, jnp.full((batch,), k - 1, jnp.int32)),
+                        model_act, sobs, state)
+                    rec = {"node": node, "view": view, "action": a,
+                           "active": ~ended,
+                           "stop": (a >= sobs["cand_n"]) & ~ended}
+                    node, view, stop = device_transition(
+                        env_arrays, node, view, a, ended)
+                    return (node, view, ended | stop, new_state), rec
+
+                carry0 = (node0, view0, jnp.zeros((batch,), bool), state0)
+                (node_f, view_f, _e, _s), recs = jax.lax.scan(
+                    step, carry0, jnp.arange(T, dtype=jnp.int32))
+                recs["final_node"] = node_f
+                recs["final_view"] = view_f
+                return recs
+
+            self._jit_cache[key] = run
+        return self._jit_cache[key]
+
+    def _device_test_batch(self) -> None:
+        """Evaluate one env minibatch on device and record results."""
+        from dasa_tpu.env.device_env import episode_inputs
+
+        env = self.env
+        env.reset()
+        dev = self._device_env_tables()
+        ep = episode_inputs(env, dev)
+        instr = self._put_batch(env._static["instr"])
+        valid = self._put_batch(~env._static["pad_mask"])
+        seq_len = self._put_batch(env._static["seq_len"])
+        recs = self._device_eval_fn()(
+            self.params, self.tables, dev.arrays(),
+            self._put_batch(ep["node0"]), self._put_batch(ep["view0"]),
+            self._put_batch(ep["goal"]), self._put_batch(ep["start"]),
+            instr, valid, seq_len)
+        recs = jax.tree_util.tree_map(np.asarray, recs)  # ONE sync
+        from dasa_tpu.sim.engine import micro_trajectory
+
+        nodes, views = recs["node"], recs["view"]
+        actions, stops = recs["action"], recs["stop"]
+        actives = recs["active"]
+        T = nodes.shape[0]
+        ids_of = {}
+        for item in env.batch:
+            g = env.graphs[item["scan"]]
+            ids_of[item["scan"]] = (g.ids, dev.base[item["scan"]])
+        for i, item in enumerate(env.batch):
+            gids, base = ids_of[item["scan"]]
+            self.total_env_steps += int(actives[:, i].sum())
+
+            def vp(global_node):
+                return gids[int(global_node) - base]
+
+            def angles(view):
+                return ((int(view) % 12) * (np.pi / 6),
+                        (int(view) // 12 - 1) * (np.pi / 6))
+
+            tr = [(vp(nodes[0, i]), *angles(views[0, i]))]
+            for t in range(T):
+                if not actives[t, i] or stops[t, i]:
+                    break
+                nxt = nodes[t + 1, i] if t + 1 < T else recs["final_node"][i]
+                nxt_view = (views[t + 1, i] if t + 1 < T
+                            else recs["final_view"][i])
+                micro_trajectory(vp(nodes[t, i]), int(views[t, i]),
+                                 int(nxt_view), tr)
+                tr.append((vp(nxt), *angles(nxt_view)))
+            iid = item["instr_id"]
+            self.results[iid] = {"instr_id": iid, "trajectory": tr}
+
     def test(self, use_dropout: bool = False, feedback: str = "argmax",
              iters: Optional[int] = None):
         """Loop rollouts until the dataset wraps (BaseAgent.test,
@@ -1435,6 +1559,9 @@ class Seq2SeqAgent:
         self.results = {}
         env = self.env
         env.reset_epoch(shuffle=iters is not None)
+        device_eval = (feedback == "argmax" and not use_dropout
+                       and iters is None and not self.cfg.submit
+                       and self.use_device_rollout())
         if iters is not None:
             for _ in range(iters):
                 self.rollout(train_ml=None, train_rl=False,
@@ -1442,8 +1569,11 @@ class Seq2SeqAgent:
         else:
             max_batches = env.size() // env.batch_size + 2
             for _ in range(max_batches):
-                self.rollout(train_ml=None, train_rl=False,
-                             feedback=feedback)
+                if device_eval:
+                    self._device_test_batch()
+                else:
+                    self.rollout(train_ml=None, train_rl=False,
+                                 feedback=feedback)
                 if len(self.results) >= env.size():
                     break
         return list(self.results.values())

@@ -219,12 +219,13 @@ class Config:
     log_dir: str = "snap"
     compute_dtype: str = "bfloat16"   # activations dtype on TPU
     # rematerialization of long-rollout forwards during backward:
-    # auto = remat whole steps when the program spans > 16 steps
-    # (bounded residual HBM); never = keep all activations (trades HBM
-    # for the recompute FLOPs); always = remat whole steps at any
-    # length; percept = recompute only the per-step encoder block
-    # (saves its small inputs instead of its large internals)
-    remat: str = "auto"
+    # never (default) = keep all activations — fastest AND smallest at
+    # the headline config (whole-step remat makes XLA stack per-step
+    # weight-grad partials, OOMing where never fits); percept =
+    # recompute only the per-step encoder block (bounds residual HBM
+    # for larger models); auto = whole-step remat past 16 steps;
+    # always = whole-step remat at any length
+    remat: str = "never"
     param_dtype: str = "float32"
     use_pallas: str = "auto"          # auto | never | always
     snap_dir: str = "snap"

@@ -143,6 +143,32 @@ def test_device_rollout_grads_match_host(world, connectivity_dir,
                                    rtol=2e-4, atol=1e-6)
 
 
+def test_device_eval_matches_host_trajectories(world, connectivity_dir):
+    """The single-program device evaluation must reproduce the host
+    act-loop's argmax trajectories exactly, micro-steps included."""
+    cfg_kw = dict(encoder_type="Dic", include_vision=True,
+                  adain_type="channel", ab_type="a", a_type="sigmoid",
+                  consistent_drop=True, max_action=6, batch_size=2)
+    data_dir, feature_db, tok = world
+
+    def results_with(mode):
+        cfg = tiny_cfg(device_rollout=mode, **cfg_kw)
+        env = make_env(world, cfg, connectivity_dir)
+        agent = Seq2SeqAgent(cfg, env, feature_db, vocab_size=len(tok),
+                             rng_seed=11)
+        out = {r["instr_id"]: r["trajectory"]
+               for r in agent.test(feedback="argmax")}
+        return out, agent
+
+    host, agent_h = results_with("never")
+    dev, agent_d = results_with("auto")
+    assert agent_d.use_device_rollout() and not agent_h.use_device_rollout()
+    assert dev.keys() == host.keys()
+    for iid in host:
+        assert dev[iid] == host[iid], iid
+    assert agent_d.total_env_steps == agent_h.total_env_steps
+
+
 def test_remat_modes_are_grad_exact(world, connectivity_dir):
     """remat never/percept/always select WHERE activations are saved vs
     recomputed during backward — a pure performance knob; gradients must
