@@ -114,6 +114,12 @@ class Seq2SeqAgent:
         self.dtype = dtype
 
         self.policy = DasaPolicy(cfg, vocab_size=vocab_size, dtype=dtype)
+        # the VMEM-resident LSTM token scan (ops/lstm.py) runs only
+        # inside the fused device programs (single forward per action —
+        # no act/replay numeric-consistency constraint) and only on TPU
+        # (the interpreter would crawl on CPU)
+        self._lstm_pallas = (cfg.use_pallas != "never"
+                             and jax.default_backend() == "tpu")
         self._init_params(rng_seed)
         self.tx = build_optimizer(cfg, self.params["params"])
         self.opt_state = self.tx.init(self.params["params"])
@@ -284,6 +290,21 @@ class Seq2SeqAgent:
             self._jit_cache[key] = run
         return self._jit_cache[key]
 
+    def _cast_params_once(self, inner_params):
+        """Cast f32 param leaves to the compute dtype ONCE, outside the
+        step scan (config.bf16_grad_accum): forward numerics are
+        identical — every flax use site casts to self.dtype anyway —
+        but the scan's closed-over-weight cotangent carry then
+        accumulates in bf16 instead of f32, halving that HBM traffic
+        and removing the per-step convert+reduce ops the round-2 trace
+        attributed ~15% of the sample pass to (BENCH_NOTES.md)."""
+        if not (self.cfg.bf16_grad_accum
+                and self.dtype == jnp.bfloat16):
+            return inner_params
+        return jax.tree_util.tree_map(
+            lambda p: p.astype(self.dtype)
+            if p.dtype == jnp.float32 else p, inner_params)
+
     def _make_loss_fn(self, use_noise: bool, n_steps: int):
         cfg = self.cfg
         policy = self.policy
@@ -292,6 +313,7 @@ class Seq2SeqAgent:
                     stacked, final_sobs, rewards, rl_masks,
                     final_ended, pm_target, base_rng, env_noise,
                     ml_weight, rl_weight, ent_weight):
+            inner_params = self._cast_params_once(inner_params)
             params = {"params": inner_params}
             cached = policy.apply(
                 params, instr, valid, seq_len, deterministic=False,
@@ -327,9 +349,12 @@ class Seq2SeqAgent:
 
             # remat long replays only: recomputing percepts during
             # backward keeps 35 steps of encoder activations out of HBM;
-            # short buckets fit and skip the recompute FLOPs
-            if cfg.remat == "always" or (cfg.remat == "auto"
-                                         and n_steps > 16):
+            # short buckets fit and skip the recompute FLOPs.  In this
+            # batched replay the percept IS the per-step block, so
+            # remat="percept" checkpoints it at any length (same policy
+            # as the fused program's percept_apply).
+            if (cfg.remat in ("always", "percept")
+                    or (cfg.remat == "auto" and n_steps > 16)):
                 percept_one = jax.checkpoint(percept_one)
             percepts = jax.vmap(percept_one)(all_sobs, steps_ax)
 
@@ -642,6 +667,7 @@ class Seq2SeqAgent:
         def loss_fn(inner_params, tables, env_arrays, node0, view0, goal,
                     start, instr, valid, seq_len, base_rng, env_noise,
                     ml_weight, rl_weight, ent_weight):
+            inner_params = self._cast_params_once(inner_params)
             params = {"params": inner_params}
             cached = policy.apply(
                 params, instr, valid, seq_len, deterministic=False,
@@ -665,6 +691,7 @@ class Seq2SeqAgent:
                     deterministic=False, is_test=False,
                     env_noise=env_noise if use_noise else None,
                     rngs={"dropout": drop_rng},
+                    lstm_pallas=self._lstm_pallas,
                     method=DasaPolicy.percept_step)
 
             if cfg.remat == "percept":
@@ -943,10 +970,18 @@ class Seq2SeqAgent:
         results: Dict[str, Exception] = {}
         # the host env is stateful — build every program's args here,
         # sequentially; only the (thread-safe) jit dispatch runs in
-        # parallel
+        # parallel.  Snapshot the env cursor and rollout rng counter so
+        # the warmup dispatches do not shift the training data/noise
+        # stream versus a non-precompiled run (the snapshot is exact as
+        # long as the warmup doesn't wrap the epoch, which would
+        # reshuffle the underlying item order).
+        env_ix0 = self.env.ix
+        counter0 = self._rollout_counter
         prebuilt = {fb: self._device_rollout_args(
             fb, 0.2 if fb == "teacher" else None, fb == "sample")
             for fb in feedbacks}
+        self.env.ix = env_ix0
+        self._rollout_counter = counter0
 
         def compile_one(fb):
             try:
@@ -1463,6 +1498,7 @@ class Seq2SeqAgent:
                     percept = policy.apply(
                         params, cached, valid, seq_len, inputs,
                         deterministic=True, is_test=True,
+                        lstm_pallas=self._lstm_pallas,
                         method=DasaPolicy.percept_step)
                     new_state, logit, _v, _aux = policy.apply(
                         params, percept, valid, state, sobs["is_first"],

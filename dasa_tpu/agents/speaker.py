@@ -292,6 +292,98 @@ class SpeakerAgent:
             self._jit[key] = run
         return self._jit[key]
 
+    def _beam_infer_fn(self, t_steps: int, beam_size: int):
+        """Jitted beam-search instruction decode (the generation-side
+        counterpart of the reference decoder's beam-expansion
+        multiplier, model.py:1060-1071): K hypotheses per trajectory
+        decoded in one scan, context expanded per beam."""
+        key = ("beam", t_steps, beam_size)
+        if key not in self._jit:
+            model = self.model
+            cfg = self.cfg
+            bos = self.tok.word_to_index["<BOS>"]
+            eos = self.tok.word_to_index["<EOS>"]
+            unk = self.tok.word_to_index["<UNK>"]
+            max_decode = cfg.max_decode
+            K = beam_size
+
+            @jax.jit
+            def run(params, img, can, ctx_mask):
+                ctx = model.apply(params, can, img, already_dropfeat=True,
+                                  deterministic=True,
+                                  method=SpeakerModel.encode)
+                b = can.shape[0]
+                # beam-expansion: ctx rows repeated per beam (the
+                # decoder's multiplier layout — row-major, beams of one
+                # item contiguous)
+                ctx_e = jnp.repeat(ctx, K, axis=0)
+                mask_e = jnp.repeat(ctx_mask, K, axis=0)
+                h = jnp.zeros((b * K, cfg.rnn_dim), self.dtype)
+                c = jnp.zeros((b * K, cfg.rnn_dim), self.dtype)
+                word0 = jnp.full((b, K), bos, jnp.int32)
+                # only beam 0 is live at t=0 (identical starts would
+                # fill the beam with duplicates)
+                logp0 = jnp.where(jnp.arange(K)[None, :] == 0, 0.0,
+                                  NEG_INF) * jnp.ones((b, 1))
+                ended0 = jnp.zeros((b, K), bool)
+                seqs0 = jnp.full((b, K, max_decode), PAD_IDX, jnp.int32)
+
+                def body(carry, i):
+                    word, h, c, logp, ended, seqs = carry
+                    logit, h, c = model.apply(
+                        params, word.reshape(b * K), ctx_e, mask_e, h, c,
+                        deterministic=True,
+                        method=SpeakerModel.decode_step)
+                    lp = jax.nn.log_softmax(
+                        logit.astype(jnp.float32).at[:, unk].set(NEG_INF),
+                        axis=-1).reshape(b, K, -1)
+                    v = lp.shape[-1]
+                    # ended beams continue only via PAD at zero cost
+                    pad_only = jnp.where(
+                        jnp.arange(v)[None, None, :] == PAD_IDX, 0.0,
+                        NEG_INF)
+                    cand = logp[:, :, None] + jnp.where(
+                        ended[:, :, None], pad_only, lp)   # (B, K, V)
+                    top_lp, flat_ix = jax.lax.top_k(
+                        cand.reshape(b, K * v), K)         # (B, K)
+                    parent = flat_ix // v
+                    token = (flat_ix % v).astype(jnp.int32)
+
+                    def g2(x):  # gather beam-major state by parent
+                        return jnp.take_along_axis(
+                            x.reshape(b, K, -1), parent[:, :, None],
+                            axis=1).reshape(b * K, -1)
+
+                    h = g2(h)
+                    c = g2(c)
+                    seqs = jnp.take_along_axis(
+                        seqs, parent[:, :, None], axis=1)
+                    ended = jnp.take_along_axis(ended, parent, axis=1)
+                    out = jnp.where(ended, PAD_IDX, token)
+                    seqs = seqs.at[:, :, i].set(out)
+                    ended = ended | (out == eos)
+                    return (out, h, c, top_lp, ended, seqs), None
+
+                (word, h, c, logp, ended, seqs), _ = jax.lax.scan(
+                    body, (word0, h, c, logp0, ended0, seqs0),
+                    jnp.arange(max_decode, dtype=jnp.int32))
+                return seqs, logp
+
+            self._jit[key] = run
+        return self._jit[key]
+
+    def beam_infer_batch(self, beam_size: int = 3):
+        """Beam-decode instructions for the current batch's teacher
+        trajectories.  Returns (words (B, K, max_decode), scores (B, K))
+        sorted best-first per item."""
+        rec, lengths = self.collect_teacher_path()
+        img, can = self._gather_traj_feats(rec)
+        t = rec["feat_row"].shape[1]
+        ctx_mask = jnp.asarray(np.arange(t)[None, :] >= lengths[:, None])
+        words, scores = self._beam_infer_fn(t, beam_size)(
+            self.params, img, can, ctx_mask)
+        return np.asarray(words), np.asarray(scores)
+
     # ------------------------------------------------------------------
     # public API (speaker.py contract)
     # ------------------------------------------------------------------

@@ -160,6 +160,9 @@ class Config:
     action_weight: float = 1.0
     pm_weight: float = 1.0
     back_weight: float = 1.0
+    pretrain_isnext: bool = False  # add the NSP-style isnext objective
+                                   # (batch_loader.py:419-432 negative
+                                   # next-view sampling)
 
     # Depth-guided AdaIN (param.py:171-178)
     depth_index_file: str = "data/viewpointIds.npy"
@@ -227,6 +230,14 @@ class Config:
     # always = whole-step remat at any length
     remat: str = "never"
     param_dtype: str = "float32"
+    # cast f32 params to the compute dtype ONCE per training program
+    # (outside the step scan) instead of at every use site: forward
+    # numerics are unchanged (use sites cast anyway), but the scan's
+    # weight-grad carry then accumulates in bf16 — half the carry HBM
+    # traffic and no per-step convert+reduce pass.  Grads convert to
+    # f32 once at the end; the f32 master params/optimizer are
+    # untouched.  No effect when compute runs in f32 (CPU/tests).
+    bf16_grad_accum: bool = True
     use_pallas: str = "auto"          # auto | never | always
     snap_dir: str = "snap"
     result_dir: str = "results"
@@ -241,6 +252,10 @@ class Config:
     def __post_init__(self):
         if self.angle_feat_size % 4 != 0:
             raise ValueError("angle_feat_size must be a multiple of 4")
+        if self.remat not in ("never", "percept", "auto", "always"):
+            raise ValueError(
+                f"remat must be never|percept|auto|always, got "
+                f"{self.remat!r}")
         if not self.connectivity_dir:
             object.__setattr__(self, "connectivity_dir",
                                _default_connectivity_dir())

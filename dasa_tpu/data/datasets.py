@@ -67,6 +67,40 @@ def expand_instructions(data: List[dict], tokenizer=None,
     return out
 
 
+def expand_instruction_groups(data: List[dict], tokenizer=None,
+                              max_input: Optional[int] = None,
+                              n_sentences: int = 3) -> List[dict]:
+    """Multi* 3-instruction mode: one item per n_sentences-combination
+    of an item's instructions, with `instr_encoding` stacked to
+    (n_sentences, L) (reference tasks/R2R/env.py:475-490 builds the
+    combination groups consumed by the Multi* encoders).  Items with
+    fewer than n_sentences instructions are skipped with a notice, like
+    the reference's 'ignore path_id' print (env.py:468-470)."""
+    from itertools import combinations
+
+    out = []
+    for item in data:
+        instrs = item["instructions"]
+        if len(instrs) < n_sentences:
+            print(f"ignore path_id {item.get('path_id')} with only "
+                  f"{len(instrs)} instructions")
+            continue
+        for k, perm in enumerate(combinations(range(len(instrs)),
+                                              n_sentences)):
+            new_item = dict(item)
+            new_item["instr_id"] = "%s_%d" % (item["path_id"], k)
+            new_item["instructions"] = [instrs[j] for j in perm]
+            if tokenizer is not None:
+                encs = [tokenizer.encode_sentence(instrs[j],
+                                                  max_length=max_input)
+                        for j in perm]
+                if any(e is None for e in encs):
+                    continue
+                new_item["instr_encoding"] = np.stack(encs)
+            out.append(new_item)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Synthetic R2R-format data over the real navigation graphs
 # ---------------------------------------------------------------------------

@@ -102,17 +102,30 @@ class FeatureDB:
         with zipfile.ZipFile(path) as zf:
             names = sorted(n for n in zf.namelist()
                            if n.endswith(".npy"))
-            base = {n.rsplit("/", 1)[-1]: n for n in names}
+            base: dict = {}
+            for n in names:
+                stem = n.rsplit("/", 1)[-1]
+                if stem in base:
+                    raise ValueError(
+                        f"duplicate member basename {stem!r} in {path} "
+                        f"({base[stem]} vs {n}): viewpoint ids must be "
+                        f"unique across zip subdirectories")
+                base[stem] = n
             if "ids.npy" in base and "values.npy" in base:
                 ids = [str(s) for s in np.load(
                     io.BytesIO(zf.read(base["ids.npy"])))]
                 values = np.load(io.BytesIO(zf.read(base["values.npy"])))
-                return FeatureDB(ids, values)
-            ids, rows = [], []
-            for name in names:
-                ids.append(name.rsplit("/", 1)[-1][: -len(".npy")])
-                rows.append(np.load(io.BytesIO(zf.read(name))))
-            return FeatureDB(ids, np.stack(rows))
+            else:
+                ids, rows = [], []
+                for name in names:
+                    ids.append(name.rsplit("/", 1)[-1][: -len(".npy")])
+                    rows.append(np.load(io.BytesIO(zf.read(name))))
+                values = np.stack(rows)
+            if values.shape[1] != views:
+                raise ValueError(
+                    f"{path}: expected {views} views per viewpoint, "
+                    f"got {values.shape[1]}")
+            return FeatureDB(ids, values)
 
     @staticmethod
     def synthetic(scans: Sequence[str], connectivity_dir: str,

@@ -109,6 +109,91 @@ class BertTextEncoderLSTM(nn.Module):
         return ctx, decoder_init, c_t
 
 
+class MultiDicEncoder(nn.Module):
+    """Shared-weights 3-instruction DicEncoder (reference
+    r2rmodel.py:2709-2820, multi_share=True — the only mode the
+    reference implements).
+
+    The reference loops a python list of n_sentences inputs through the
+    SAME bert+lstm; here the sentence axis folds into the batch for one
+    (B*S, L) pass.  Returns per-sentence contexts plus the averaged
+    decoder init states (r2rmodel.py:2812-2817 divides by n_sentences).
+    Consumers merge per-sentence attention with
+    :func:`merge_sentence_attention` (tasks/R2R/model.py:3571-3579)."""
+
+    bert_config: "BertConfig"
+    hidden_size: int
+    dec_hidden_size: int
+    dropout_ratio: float
+    bidirectional: bool = True
+    reverse_input: bool = True
+    top_lstm: bool = True
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.inner = DicEncoder(
+            self.bert_config, self.hidden_size, self.dec_hidden_size,
+            self.dropout_ratio, bidirectional=self.bidirectional,
+            reverse_input=self.reverse_input, top_lstm=self.top_lstm,
+            dtype=self.dtype)
+
+    def text_forward(self, instr, valid_mask, *, deterministic=True):
+        """instr (B, S, L) -> folded text embeds (B*S, L, H_bert)."""
+        b, s, length = instr.shape
+        return self.inner.text_forward(
+            instr.reshape(b * s, length),
+            valid_mask.reshape(b * s, length),
+            deterministic=deterministic)
+
+    def __call__(self, text_embeds, valid_mask, seq_len, f_t_all=None, *,
+                 deterministic: bool = True):
+        """text_embeds: folded (B*S, L, H) from text_forward; valid_mask
+        (B, S, L); seq_len (B, S).  Returns (ctxs (B, S, L, C),
+        decoder_init, c_t, masks (B, S, L)) with init states averaged
+        over sentences."""
+        b, s, length = valid_mask.shape
+        f_rep = (None if f_t_all is None else
+                 jnp.repeat(f_t_all, s, axis=0))
+        ctx, h0, c0, _ctx_v, _visn = self.inner(
+            text_embeds, valid_mask.reshape(b * s, length),
+            seq_len.reshape(b * s), f_t_all=f_rep,
+            deterministic=deterministic)
+        ctxs = ctx.reshape(b, s, length, ctx.shape[-1])
+        decoder_init = h0.reshape(b, s, -1).mean(axis=1)
+        c_t = c0.reshape(b, s, -1).mean(axis=1)
+        return ctxs, decoder_init, c_t, valid_mask
+
+
+def merge_sentence_attention(attention_fn, h, ctxs, valid_masks,
+                             merge: str = "mean"):
+    """Per-sentence instruction attention + merge (the legacy decoders'
+    att_ctx_merge, tasks/R2R/model.py:3489-3498, 3571-3579): run the
+    given attention layer against each sentence's context and combine
+    the h_tildes by mean/sum/max, or concatenate ('cat').
+
+    attention_fn(h, ctx, mask) -> (h_tilde, attn); ctxs (B, S, L, C);
+    valid_masks (B, S, L) True = valid token."""
+    tildes = []
+    attns = []
+    s = ctxs.shape[1]
+    for si in range(s):
+        h_tilde, attn = attention_fn(h, ctxs[:, si], ~valid_masks[:, si])
+        tildes.append(h_tilde)
+        attns.append(attn)
+    stack = jnp.stack(tildes, axis=1)  # (B, S, D)
+    if merge == "mean":
+        merged = stack.mean(axis=1)
+    elif merge == "sum":
+        merged = stack.sum(axis=1)
+    elif merge == "max":
+        merged = stack.max(axis=1)
+    elif merge == "cat":
+        merged = stack.reshape(stack.shape[0], -1)
+    else:
+        raise ValueError(merge)
+    return merged, attns
+
+
 def reverse_valid_tokens(embeds, valid_mask, seq_len):
     """Reverse each row's first seq_len tokens in place, zeroing pads —
     the reference's masked scatter reversal (r2rmodel.py:2326-2330)."""
@@ -161,10 +246,12 @@ class DicEncoder(nn.Module):
             deterministic=deterministic)
 
     def __call__(self, text_embeds, valid_mask, seq_len, f_t_all=None, *,
-                 deterministic: bool = True):
+                 deterministic: bool = True, lstm_pallas: bool = False):
         """text_embeds: output of text_forward (B, L, H_bert).
         Returns (ctx, decoder_init, c_t, ctx_v, visn) — visn is the raw
-        vision-token stream (B, 36, H_bert) consumed by the MT decoder."""
+        vision-token stream (B, 36, H_bert) consumed by the MT decoder.
+        lstm_pallas routes the top LSTM through the VMEM-resident token
+        scan (ops/lstm.py) — set by the fused device programs only."""
         embeds, pooled, visn = self.bert.cross_forward(
             text_embeds, valid_mask.astype(jnp.int32), f_t_all,
             deterministic=deterministic)
@@ -177,7 +264,8 @@ class DicEncoder(nn.Module):
             c_t = self.encoder2decoder_ct(embeds[:, -1])
             decoder_init = jnp.tanh(self.encoder2decoder_ht(pooled))
         else:
-            ctx, (h_t, c_t) = self.lstm(embeds, valid_mask)
+            ctx, (h_t, c_t) = self.lstm(embeds, valid_mask,
+                                        pallas=lstm_pallas)
             decoder_init = jnp.tanh(self.encoder_lstm2decoder_ht(h_t))
             if self.hidden_size * self._num_dir != self.dec_hidden_size:
                 c_t = self.encoder_lstm2decoder_ct(c_t)

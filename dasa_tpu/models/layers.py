@@ -90,7 +90,7 @@ class LSTM(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray,
-                 init_carry=None):
+                 init_carry=None, pallas: bool = False):
         batch = x.shape[0]
         if init_carry is None:
             zeros = jnp.zeros((batch, self.features), self.dtype)
@@ -103,6 +103,23 @@ class LSTM(nn.Module):
         # hoisted input projection: ONE (B, T, in) x (in, 4H) matmul
         # feeds the MXU; the scan keeps only the hidden recurrence
         xw = cell.input_proj(x)
+
+        if pallas:
+            # VMEM-resident multi-token recurrence (ops/lstm.py): used by
+            # the fused device programs where the token loop would
+            # otherwise re-read the recurrence weights from HBM per token
+            from dasa_tpu.ops.lstm import lstm_scan
+
+            xw_t = jnp.swapaxes(xw + cell.b.astype(self.dtype), 0, 1)
+            mask_t = jnp.swapaxes(mask, 0, 1).astype(self.dtype)
+            h0, c0 = init_carry
+            h_seq, c_seq = lstm_scan(xw_t, mask_t, h0, c0,
+                                     cell.wh.astype(self.dtype))
+            ys = jnp.swapaxes(h_seq * mask_t[..., None], 0, 1)
+            carry = (h_seq[-1], c_seq[-1])
+            if self.reverse:
+                ys = jnp.flip(ys, axis=1)
+            return ys, carry
 
         def step(cell, carry, xs):
             xw_t, m_t = xs
@@ -142,12 +159,38 @@ class BiLSTM(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask):
+    def __call__(self, x, mask, pallas: bool = False):
         feats = self.features
         cell_f = LstmCell(feats, x.shape[-1], self.dtype, name="fwd_cell")
         cell_b = LstmCell(feats, x.shape[-1], self.dtype, name="bwd_cell")
         x_rev = jnp.flip(x, axis=1)
         m_rev = jnp.flip(mask, axis=1)
+
+        if pallas:
+            # two independent VMEM-resident token scans (ops/lstm.py);
+            # both directions' weights at once would exceed VMEM, and the
+            # per-token matmul count matches the fused einsum scan
+            from dasa_tpu.ops.lstm import lstm_scan
+
+            batch = x.shape[0]
+            zeros = jnp.zeros((batch, feats), self.dtype)
+
+            def run(cell, xs, ms):
+                xw1 = jnp.swapaxes(
+                    cell.input_proj(xs) + cell.b.astype(self.dtype), 0, 1)
+                m1 = jnp.swapaxes(ms, 0, 1).astype(self.dtype)
+                h_seq, c_seq = lstm_scan(xw1, m1, zeros, zeros,
+                                         cell.wh.astype(self.dtype))
+                ys1 = jnp.swapaxes(h_seq * m1[..., None], 0, 1)
+                return ys1, h_seq[-1], c_seq[-1]
+
+            out_f, hf, cf = run(cell_f, x, mask)
+            out_b_rev, hb, cb = run(cell_b, x_rev, m_rev)
+            out_b = jnp.flip(out_b_rev, axis=1)
+            ctx = jnp.concatenate([out_f, out_b], axis=-1)
+            h_cat = jnp.concatenate([hb, hf], axis=-1)  # (bwd, fwd)
+            c_cat = jnp.concatenate([cb, cf], axis=-1)
+            return ctx, (h_cat, c_cat)
         # input projections stay hoisted: one (B*T)-row matmul each
         xw = jnp.stack([cell_f.input_proj(x),
                         cell_b.input_proj(x_rev)], 0)      # (2,B,T,4H)

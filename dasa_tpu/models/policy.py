@@ -253,7 +253,8 @@ class DasaPolicy(nn.Module):
 
     # ---- per-step pieces ----
     def encode_step(self, cached: Dict[str, jnp.ndarray], valid_mask,
-                    seq_len, f_t, *, deterministic: bool = True):
+                    seq_len, f_t, *, deterministic: bool = True,
+                    lstm_pallas: bool = False):
         """Per-step encoding.  Returns (ctx, h0, c0, ctx_v, v_emb)."""
         if self.cfg.encoder_type in PLAIN_ENCODERS:
             return cached["ctx"], cached["h0"], cached["c0"], None, None
@@ -264,10 +265,12 @@ class DasaPolicy(nn.Module):
                 cached["text_embeds"], ~valid_mask, f_t,
                 deterministic=deterministic)
             return ctx, att_txt, att_v, None, None
+        kw = ({"lstm_pallas": lstm_pallas}
+              if isinstance(self.encoder, DicEncoder) else {})
         ctx, h0, c0, ctx_v, visn = self.encoder(
             cached["text_embeds"], valid_mask, seq_len,
             f_t_all=f_t if self.cfg.include_vision else None,
-            deterministic=deterministic)
+            deterministic=deterministic, **kw)
         return ctx, h0, c0, ctx_v, visn
 
     def apply_adain(self, inputs: StepInputs, *, is_test: bool = True,
@@ -376,7 +379,7 @@ class DasaPolicy(nn.Module):
     def percept_step(self, cached: Dict[str, jnp.ndarray], valid_mask,
                      seq_len, inputs: StepInputs, *,
                      deterministic: bool = True, is_test: bool = True,
-                     env_noise=None):
+                     env_noise=None, lstm_pallas: bool = False):
         """The decoder-state-INDEPENDENT part of one rollout step:
         env-drop -> AdaIN -> cross-modal encoder (vl_rollout,
         agent_dg.py:725-797).  Because nothing here depends on the
@@ -398,7 +401,7 @@ class DasaPolicy(nn.Module):
             inputs = self._apply_env_noise(inputs, env_noise)
         ctx, h0, c0, ctx_v, v_emb = self.encode_step(
             cached, valid_mask, seq_len, inputs.f_t,
-            deterministic=deterministic)
+            deterministic=deterministic, lstm_pallas=lstm_pallas)
         if ctx_v is not None:
             inputs = inputs._replace(d_t=inputs.d_t + ctx_v)
         if cfg.agent_type == "double":

@@ -98,7 +98,15 @@ class SpeakerDecoder(nn.Module):
 
     def __call__(self, words, ctx, ctx_mask, h0, c0, *,
                  deterministic: bool = True):
-        """Teacher-forced decode over words (B, Lw)."""
+        """Teacher-forced decode over words (B*m, Lw).  The words batch
+        may be an integer multiple m of the ctx batch — the beam
+        expansion multiplier (reference model.py:1060-1071): each ctx
+        row is repeated for its m beams, so beam-expanded word batches
+        score against their shared trajectory context."""
+        mult = words.shape[0] // ctx.shape[0]
+        if mult > 1:
+            ctx = jnp.repeat(ctx, mult, axis=0)
+            ctx_mask = jnp.repeat(ctx_mask, mult, axis=0)
 
         def body(mdl, carry, w_t):
             h, c = carry

@@ -47,22 +47,36 @@ def generate_pretrain_records(env: R2REnv,
                 teacher >= 0,
                 obs.cand_point_id[rows, np.maximum(teacher, 0)],
                 obs.view_index)  # at goal: keep looking where you are
+            pending = {}
             for i in range(obs.batch_size()):
                 if ended[i] or not keep[i]:
                     continue
-                records.append({
+                rec = {
                     "instr_encoding": obs.instr[i].copy(),
                     "seq_len": int(obs.seq_len[i]),
                     "feat_row": int(obs.feat_row[i]),
                     "view_index": int(obs.view_index[i]),
                     "action": int(tgt_view[i]),
                     "progress": float(obs.progress[i]),
-                })
+                    # next-state placeholders, filled after stepping
+                    # (isnext negative sampling — batch_loader.py:395-432
+                    # records the NEXT step's pano for the NSP task; at
+                    # the goal, "next" stays the current state like the
+                    # reference's absViewIndex == -1 terminal case)
+                    "next_feat_row": int(obs.feat_row[i]),
+                    "next_view_index": int(obs.view_index[i]),
+                }
+                records.append(rec)
+                pending[i] = rec
             step_actions = np.where(ended, -1, teacher)
             ended |= step_actions == -1
             if ended.all():
                 break
             obs = env.step(step_actions)
+            for i, rec in pending.items():
+                if step_actions[i] >= 0:
+                    rec["next_feat_row"] = int(obs.feat_row[i])
+                    rec["next_view_index"] = int(obs.view_index[i])
         if len(seen) >= env.size():
             break
     return records
@@ -117,7 +131,7 @@ class PretrainBatcher:
                                    self.mask_rate)
                 seq.append(t)
                 labels.append(l)
-            yield {
+            batch = {
                 "seq": np.stack(seq).astype(np.int32),
                 "labels": np.stack(labels).astype(np.int32),
                 "lang_mask": (np.stack(
@@ -132,3 +146,24 @@ class PretrainBatcher:
                 "progress": np.array([r["progress"] for r in chunk],
                                      np.float32),
             }
+            if "next_feat_row" in chunk[0]:
+                # isnext negative sampling (batch_loader.py:419-432):
+                # w.p. 0.5 present the TRUE next-step pano (isnext=1),
+                # else a pano of the same next viewpoint rendered from a
+                # random OTHER view index (isnext=0)
+                isnext = np.empty(len(chunk), np.int32)
+                nview = np.empty(len(chunk), np.int32)
+                for j, r in enumerate(chunk):
+                    real = r["next_view_index"]
+                    if self._rng.random() <= 0.5:
+                        isnext[j] = 1
+                        nview[j] = real
+                    else:
+                        isnext[j] = 0
+                        fake = self._rng.randrange(35)
+                        nview[j] = fake + (fake >= real)
+                batch["isnext"] = isnext
+                batch["next_feat_row"] = np.array(
+                    [r["next_feat_row"] for r in chunk], np.int32)
+                batch["next_view"] = nview
+            yield batch

@@ -62,10 +62,19 @@ class DicAddActionPreTrain(nn.Module):
                                                 self.dtype)
 
     def __call__(self, seq, labels, actions=None, img_feats=None,
-                 lang_mask=None, *, deterministic: bool = True):
+                 lang_mask=None, isnext=None, next_img=None, *,
+                 deterministic: bool = True):
         """seq (B, L) masked tokens; labels (B, L) original ids at masked
         positions, -1 elsewhere; actions (B,) int or None; img_feats
-        (B, 36, F).  Returns (loss, mlm_logits, action_logits)."""
+        (B, 36, F).  Returns (loss, mlm_logits, action_logits).
+
+        isnext/next_img add the reference's NSP-style objective
+        (pretrain_class.py:120-140 + batch_loader.py:419-432): next_img
+        is the true next-step pano (isnext=1) or a fake same-viewpoint
+        pano from another view index (isnext=0), scored as CE of the
+        action classifier against the binary label — the reference
+        reuses NextActionPrediction as the isnext head, so classes 0/1
+        of the 36-way head carry the decision."""
         ctx, pooled, _ = self.bert(seq, att_mask=lang_mask,
                                    img_feats=img_feats,
                                    deterministic=deterministic)
@@ -85,6 +94,16 @@ class DicAddActionPreTrain(nn.Module):
                 alogp, jnp.maximum(actions, 0)[:, None], axis=-1)[:, 0]
             aw = (actions >= 0).astype(jnp.float32)
             loss = loss + (a_ce * aw).sum() / jnp.maximum(aw.sum(), 1.0)
+        if isnext is not None:
+            _, pooled_n, _ = self.bert(seq, att_mask=lang_mask,
+                                       img_feats=next_img,
+                                       deterministic=deterministic)
+            n_logits = self.next_action(pooled_n).astype(jnp.float32)
+            nlogp = jax.nn.log_softmax(n_logits, axis=-1)
+            n_ce = -jnp.take_along_axis(
+                nlogp, isnext[:, None], axis=-1)[:, 0]
+            loss = loss + n_ce.mean()
+            return loss, mlm_logits, action_logits, n_logits
         return loss, mlm_logits, action_logits
 
 

@@ -103,6 +103,7 @@ class Pretrainer:
     def _build_train_step(self):
         model = self.model
         tx = self.tx
+        use_isnext = self.cfg.pretrain_isnext
 
         @jax.jit
         def step(params, opt_state, feat_table, angle_table, batch, rng):
@@ -110,10 +111,19 @@ class Pretrainer:
                 img = assemble_pano(feat_table, angle_table,
                                     batch["feat_row"],
                                     batch["view_index"])
-                loss, mlm_logits, action_logits = model.apply(
+                kw = {}
+                if use_isnext:
+                    # real-or-fake next-step pano for the NSP-style
+                    # objective (batch_loader.py:419-432)
+                    kw["next_img"] = assemble_pano(
+                        feat_table, angle_table, batch["next_feat_row"],
+                        batch["next_view"])
+                    kw["isnext"] = batch["isnext"]
+                out = model.apply(
                     {"params": inner}, batch["seq"], batch["labels"],
                     batch["action"], img, batch["lang_mask"],
-                    deterministic=False, rngs={"dropout": rng})
+                    deterministic=False, rngs={"dropout": rng}, **kw)
+                loss, mlm_logits, action_logits = out[:3]
                 # accuracy logs
                 mlm_pred = jnp.argmax(mlm_logits, -1)
                 m = batch["labels"] >= 0
@@ -122,7 +132,11 @@ class Pretrainer:
                            / jnp.maximum(m.sum(), 1))
                 act_acc = (jnp.argmax(action_logits, -1)
                            == batch["action"]).mean()
-                return loss, {"mlm_acc": mlm_acc, "act_acc": act_acc}
+                aux = {"mlm_acc": mlm_acc, "act_acc": act_acc}
+                if use_isnext:
+                    aux["isnext_acc"] = (
+                        jnp.argmax(out[3], -1) == batch["isnext"]).mean()
+                return loss, aux
 
             (loss, aux), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params["params"])
@@ -244,9 +258,9 @@ def run_pretrain(cfg: Config, world=None) -> Pretrainer:
                 batch, jax.random.fold_in(rng, it))
             it += 1
             if it % cfg.log_every == 0:
-                print(f"pretrain iter {it}: loss {loss:.4f} "
-                      f"mlm_acc {aux['mlm_acc']:.3f} "
-                      f"act_acc {aux['act_acc']:.3f} "
+                metrics = " ".join(f"{k} {v:.3f}"
+                                   for k, v in sorted(aux.items()))
+                print(f"pretrain iter {it}: loss {loss:.4f} {metrics} "
                       f"({time.time() - start:.0f}s)", flush=True)
             if it % cfg.val_every == 0:
                 val = pt.evaluate(val_batcher, max_batches=10)

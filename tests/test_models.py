@@ -194,3 +194,83 @@ def test_policy_text_cache_exactness():
                                    method=DasaPolicy.encode_step)
     np.testing.assert_allclose(np.asarray(ctx1), np.asarray(ctx2))
     np.testing.assert_allclose(np.asarray(h1), np.asarray(h2))
+
+# ---------------------------------------------------------------------------
+# Multi* 3-instruction plumbing (reference r2rmodel.py:2709-2820 +
+# tasks/R2R/env.py:475-490 + tasks/R2R/model.py:3571-3579)
+# ---------------------------------------------------------------------------
+
+def test_expand_instruction_groups():
+    from dasa_tpu.data.datasets import expand_instruction_groups
+    from dasa_tpu.utils import Tokenizer, build_vocab
+
+    data = [
+        {"path_id": 1, "scan": "s", "path": ["a"], "heading": 0.0,
+         "instructions": ["go left now", "walk right ahead",
+                          "turn around fully", "go straight on"]},
+        {"path_id": 2, "scan": "s", "path": ["a"], "heading": 0.0,
+         "instructions": ["too few", "instructions here"]},
+    ]
+    vocab = build_vocab(data, min_count=1)
+    tok = Tokenizer(vocab, encoding_length=8)
+    groups = expand_instruction_groups(data, tok, max_input=8)
+    # C(4,3)=4 groups for item 1; item 2 skipped (< 3 instructions)
+    assert len(groups) == 4
+    for g in groups:
+        assert g["instr_encoding"].shape == (3, 8)
+        assert len(g["instructions"]) == 3
+    assert groups[0]["instr_id"] == "1_0"
+
+
+def test_multi_dic_encoder_and_merge():
+    from dasa_tpu.models.encoder import (
+        DicEncoder,
+        MultiDicEncoder,
+        merge_sentence_attention,
+    )
+    from dasa_tpu.models.layers import SoftDotAttention
+    from dasa_tpu.models.policy import bert_config_from
+
+    cfg = small_cfg(encoder_type="Dic", include_vision=False)
+    bc = bert_config_from(cfg)
+    b, s, L = 2, 3, 12
+    rng = np.random.default_rng(0)
+    one = rng.integers(1, 50, size=(b, 1, L)).astype(np.int32)
+    instr = jnp.asarray(np.repeat(one, s, axis=1))  # identical sentences
+    valid = instr != 0
+    seq_len = valid.sum(-1).astype(jnp.int32)
+
+    enc = MultiDicEncoder(bc, cfg.d_enc_hidden_size, cfg.d_hidden_size,
+                          dropout_ratio=0.0)
+    params = enc.init(jax.random.PRNGKey(0), instr, valid,
+                      method=MultiDicEncoder.text_forward)
+    te = enc.apply(params, instr, valid,
+                   method=MultiDicEncoder.text_forward)
+    params = enc.init(jax.random.PRNGKey(0), te, valid, seq_len)
+    ctxs, h0, c0, masks = enc.apply(params, te, valid, seq_len)
+    C = cfg.d_enc_hidden_size * 2
+    assert ctxs.shape == (b, s, L, C)
+    assert h0.shape == (b, cfg.d_hidden_size)
+    # identical sentences through shared weights -> identical contexts,
+    # and the averaged init equals any single sentence's init
+    np.testing.assert_allclose(np.asarray(ctxs[:, 0]),
+                               np.asarray(ctxs[:, 1]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ctxs[:, 1]),
+                               np.asarray(ctxs[:, 2]), atol=1e-6)
+
+    att = SoftDotAttention(cfg.d_hidden_size, C)
+    h = jnp.asarray(rng.normal(size=(b, cfg.d_hidden_size)), jnp.float32)
+    ap = att.init(jax.random.PRNGKey(1), h, ctxs[:, 0], ~valid[:, 0])
+
+    def att_fn(hh, ctx, mask):
+        return att.apply(ap, hh, ctx, mask)
+
+    merged, attns = merge_sentence_attention(att_fn, h, ctxs, valid,
+                                             merge="mean")
+    single, _ = att_fn(h, ctxs[:, 0], ~valid[:, 0])
+    np.testing.assert_allclose(np.asarray(merged), np.asarray(single),
+                               rtol=1e-5, atol=1e-6)
+    cat, _ = merge_sentence_attention(att_fn, h, ctxs, valid, merge="cat")
+    assert cat.shape == (b, s * cfg.d_hidden_size)
+    mx, _ = merge_sentence_attention(att_fn, h, ctxs, valid, merge="max")
+    assert mx.shape == (b, cfg.d_hidden_size)

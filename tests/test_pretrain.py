@@ -114,3 +114,74 @@ def test_pretrain_evaluate(world):
     assert set(out) == {"loss", "mlm_acc", "act_acc"}
     assert 0.0 <= out["mlm_acc"] <= 1.0
     assert np.isfinite(out["loss"])
+
+def test_isnext_sampling_distribution(world):
+    """isnext negative sampling (batch_loader.py:419-432): ~50/50 labels;
+    positive rows keep the true next view, negative rows swap in a
+    different view index at the same next viewpoint."""
+    env, feature_db, tok = world
+    records = generate_pretrain_records(env, max_steps=10)
+    assert all("next_feat_row" in r for r in records)
+    # non-terminal records advance the state
+    moved = [r for r in records if r["next_view_index"] != r["view_index"]
+             or r["next_feat_row"] != r["feat_row"]]
+    assert len(moved) > 0
+    real_next = {}
+    batcher = PretrainBatcher(records, 4, len(tok),
+                              tok.word_to_index["<MASK>"], seed=3)
+    for r in records:
+        key = (tuple(np.asarray(r["instr_encoding"]).tolist()),
+               r["feat_row"], r["view_index"])
+        real_next[key] = (r["next_feat_row"], r["next_view_index"])
+    n_pos = n_tot = 0
+    for _ in range(25):
+        for batch in batcher.epoch():
+            assert {"isnext", "next_feat_row", "next_view"} <= set(batch)
+            for j in range(len(batch["isnext"])):
+                key = (tuple(batch["lang_mask"][j] * 0 + 0),)  # unused
+                n_tot += 1
+                n_pos += int(batch["isnext"][j])
+                nfr, nv = (int(batch["next_feat_row"][j]),
+                           int(batch["next_view"][j]))
+                assert 0 <= nv < 36
+    assert 0.42 < n_pos / n_tot < 0.58
+    # per-batch: negatives never equal the recorded true next view
+    rng_batches = list(batcher.epoch())
+    by_key = {}
+    for r in records:
+        by_key[(r["feat_row"], r["view_index"], r["action"])] = \
+            r["next_view_index"]
+    for batch in rng_batches:
+        for j in range(len(batch["isnext"])):
+            true_v = by_key.get((int(batch["feat_row"][j]),
+                                 int(batch["view_index"][j]),
+                                 int(batch["action"][j])))
+            if true_v is None:
+                continue
+            if batch["isnext"][j] == 1:
+                assert int(batch["next_view"][j]) == true_v
+            else:
+                assert int(batch["next_view"][j]) != true_v
+
+
+def test_pretrain_isnext_reduces_loss(world):
+    env, feature_db, tok = world
+    cfg = Config(feature_size=DIM, angle_feat_size=8, max_input=L,
+                 batch_size=8, d_la_layers=1, d_vl_layers=1, lr=3e-4,
+                 warm_steps=5, iters=60, encoder_type="Dic",
+                 pretrain_isnext=True)
+    records = generate_pretrain_records(env, max_steps=10)
+    batcher = PretrainBatcher(records, cfg.batch_size, len(tok),
+                              tok.word_to_index["<MASK>"])
+    pt = Pretrainer(cfg, feature_db, len(tok))
+    pt.shard_inputs()
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    it = 0
+    for _ in range(6):
+        for batch in batcher.epoch():
+            loss, aux = pt.train_step(batch, jax.random.fold_in(rng, it))
+            assert "isnext_acc" in aux
+            losses.append(loss)
+            it += 1
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.9, losses

@@ -75,3 +75,59 @@ def test_speaker_valid_and_bleu(world):
     ev = Evaluation(raw, splits=["train"])
     bleu, precisions = ev.bleu_score(path2inst, tok)
     assert 0.0 <= bleu <= 1.0
+
+def test_speaker_beam_decode(world):
+    """Beam decode (reference model.py:1060-1071 beam expansion):
+    beam_size=1 reproduces greedy exactly; K=3 returns per-item
+    hypotheses sorted best-first with valid EOS/PAD structure."""
+    cfg, env, feature_db, tok, raw = world
+    sp = SpeakerAgent(cfg, env, feature_db, vocab_size=len(tok), tok=tok)
+    env.reset()
+    greedy = sp.infer_batch()
+    env.reset_epoch()
+    env.reset()
+    words1, scores1 = sp.beam_infer_batch(beam_size=1)
+    np.testing.assert_array_equal(words1[:, 0], greedy)
+
+    env.reset_epoch()
+    env.reset()
+    words, scores = sp.beam_infer_batch(beam_size=3)
+    assert words.shape == (4, 3, cfg.max_decode)
+    assert scores.shape == (4, 3)
+    # sorted best-first, and nothing after EOS but PAD
+    eos = tok.word_to_index["<EOS>"]
+    for b in range(4):
+        assert all(scores[b][k] >= scores[b][k + 1] - 1e-5
+                   for k in range(2))
+        for k in range(3):
+            seq = list(words[b, k])
+            if eos in seq:
+                tail = seq[seq.index(eos) + 1:]
+                assert all(w == 0 for w in tail)
+    # beams are distinct hypotheses for at least one item
+    assert any(not np.array_equal(words[b, 0], words[b, 1])
+               for b in range(4))
+
+
+def test_speaker_decoder_multiplier(world):
+    """The decoder's beam-expansion multiplier scores a (B*m) word batch
+    against a B-row ctx identically to manual per-row repetition."""
+    import jax
+    import jax.numpy as jnp
+
+    from dasa_tpu.models.speaker import SpeakerDecoder
+
+    rng = np.random.default_rng(0)
+    b, m, t, lw, hd, v = 2, 3, 4, 5, 16, 30
+    dec = SpeakerDecoder(v, 8, hd, 0.0)
+    words = jnp.asarray(rng.integers(1, v, (b * m, lw)), jnp.int32)
+    ctx = jnp.asarray(rng.standard_normal((b, t, hd)), jnp.float32)
+    ctx_mask = jnp.asarray(np.array([[False] * t, [False, False, True,
+                                                   True]]))
+    h0 = jnp.zeros((b * m, hd))
+    params = dec.init(jax.random.PRNGKey(0), words, ctx, ctx_mask, h0, h0)
+    out = dec.apply(params, words, ctx, ctx_mask, h0, h0)
+    out_manual = dec.apply(params, words, jnp.repeat(ctx, m, 0),
+                           jnp.repeat(ctx_mask, m, 0), h0, h0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_manual),
+                               rtol=1e-5, atol=1e-6)
