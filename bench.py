@@ -4,13 +4,21 @@
 Runs the full-size DASA config (reference README.md:82-98) at batchSize
 20 on synthetic features over real connectivity graphs, times steady-
 state optimizer iterations (teacher + sample rollout, grad accumulation,
-RMSProp update), and prints ONE JSON line:
+RMSProp update) over THREE windows, and prints ONE JSON line:
 
     {"metric": "agent_steps_per_sec", "value": N, "unit": "steps/s",
-     "vs_baseline": N}
+     "vs_baseline": N, "mfu": N, ...}
+
+- `value` is the mean of the three windows; `spread_pct` is
+  (max-min)/mean across windows — deltas inside the spread are noise.
+- `mfu` divides achieved model FLOP/s (analytic matmul count per
+  agent-step, see `analytic_flops_per_agent_step`) by the chip's peak.
+- The episode set, iteration order, and rng stream are pinned by a
+  committed fixture (data/bench_fixture.json) + fixed seeds, so
+  round-over-round deltas are attributable to code changes.
 
 See BENCH_NOTES.md for the agent-step definition and the reference
-baseline estimate.
+baseline estimate (with sensitivity bounds).
 """
 
 import json
@@ -24,9 +32,51 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       "/root/repo/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
-REF_AGENT_STEPS_PER_SEC = 135.0  # BENCH_NOTES.md
+REF_AGENT_STEPS_PER_SEC = 135.0  # estimate; bounds in BENCH_NOTES.md
+PEAK_FLOPS = float(os.environ.get("DASA_PEAK_FLOPS", 197e12))  # v5e bf16
 
 CONNECTIVITY = "/root/reference/connectivity"
+FIXTURE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "data", "bench_fixture.json")
+
+
+def analytic_flops_per_agent_step(cfg, avg_episode_len: float) -> float:
+    """Matmul FLOPs per (episode, env-step) pair for the training
+    workload: forward + backward (2x forward) across the teacher and
+    sample passes.  Counts the dominant contractions only (transformer
+    layers, LSTMs, dense projections; attention-score terms included,
+    elementwise/softmax excluded) — the MFU convention.
+
+    Derivation (per policy step, per episode, forward):
+      - 3 LXRTX cross layers over (L lang + 36 vision) tokens at
+        H=768: per layer per token ~16 H^2 MACs (QKVO self 4H^2 +
+        FFN 8H^2 + cross-attn q/kv/out ~4H^2)   [models/bert.py]
+      - vision encoder dense: 36 * F_all * H     [models/bert.py]
+      - top BiLSTM: L tokens x 2 dirs x (H_bert + H_enc) * 4H_enc
+                                                  [models/encoder.py]
+      - decoder LSTMCell + attentions + candidate logits
+                                                  [models/decoder.py]
+      - 9 text-only BERT layers run once per episode (cached), so
+        12 H^2 L * 9 is amortized over the episode length.
+    """
+    H = 1024 if cfg.d_bert_type == "large" else 768
+    L = cfg.max_input
+    V = cfg.views
+    F = cfg.feature_all_size
+    He = cfg.d_enc_hidden_size          # per-direction top-LSTM width
+    Hd = cfg.d_hidden_size
+    macs_cross = cfg.d_vl_layers * 16 * (L + V) * H * H \
+        + cfg.d_vl_layers * 2 * (2 * L * V + L * L + V * V) * H
+    macs_vis = V * F * H
+    macs_lstm = L * 2 * (H + He) * 4 * He
+    macs_enc2dec = 2 * 2 * He * Hd
+    macs_dec = (F + cfg.aemb + Hd) * 4 * Hd \
+        + (2 * Hd * F) + (2 * He * Hd) + (cfg.max_candidates * Hd * F) \
+        + Hd * F  # pano att + instr att + cand logits + action embed
+    macs_text = cfg.d_la_layers * (12 * H * H * L + 2 * L * L * H)
+    per_step = (macs_cross + macs_vis + macs_lstm + macs_enc2dec
+                + macs_dec + macs_text / max(avg_episode_len, 1.0))
+    return per_step * 2 * 3  # MACs->FLOPs, forward + ~2x backward
 
 
 def main():
@@ -56,10 +106,13 @@ def main():
         compute_dtype="bfloat16",
         # the headline config's 35-step fused scan fits HBM without
         # rematerialization; skipping the backward recompute measured
-        # 817 -> 1125 agent-steps/s (BENCH_NOTES.md).  Config default
-        # stays "auto" (remat when >16 steps) as the safe setting for
-        # larger models.
+        # 817 -> 1125 agent-steps/s (BENCH_NOTES.md).  "never" is also
+        # the Config default; "percept" is the bounded-memory fallback
+        # for larger models.
         remat=os.environ.get("DASA_BENCH_REMAT", "never"),
+        # A/B knobs for the round-3 levers (both default-on in Config)
+        use_pallas=os.environ.get("DASA_BENCH_PALLAS", "auto"),
+        bf16_grad_accum=os.environ.get("DASA_BENCH_BF16ACC", "1") == "1",
     )
     if fast:  # plumbing smoke for CPU runs, not a benchmark
         cfg = cfg.replace(d_la_layers=1, d_vl_layers=1, batch_size=4,
@@ -69,9 +122,20 @@ def main():
                           compute_dtype="float32")
 
     scans = ["17DRP5sb8fy", "2t7WUuJeko7"]
-    data = generate_synthetic_dataset(scans, 40,
-                                      connectivity_dir=CONNECTIVITY,
-                                      min_hops=4, max_hops=6)
+    # pinned episode set: the committed fixture freezes the synthetic
+    # items; generation is seeded so the fixture regenerates identically
+    # if deleted
+    if os.path.exists(FIXTURE) and not fast:
+        with open(FIXTURE) as f:
+            data = json.load(f)
+    else:
+        data = generate_synthetic_dataset(scans, 40,
+                                          connectivity_dir=CONNECTIVITY,
+                                          min_hops=4, max_hops=6)
+        if not fast:
+            os.makedirs(os.path.dirname(FIXTURE), exist_ok=True)
+            with open(FIXTURE, "w") as f:
+                json.dump(data, f)
     vocab = build_vocab(data, min_count=1)
     tok = Tokenizer(vocab, encoding_length=cfg.max_input)
     items = expand_instructions(data, tok, max_input=cfg.max_input)
@@ -103,38 +167,56 @@ def main():
     float(np.asarray(agent.losses[-1]))  # force through the async queue
     warm = time.time() - t0
 
-    # timed window: >=20 iterations so episode-length variation averages
-    # out.  The loop itself fetches NOTHING (device dispatch is async and
-    # the fused rollouts never sync); the clock stops on a value fetch
-    # that depends on the final iteration's work, so queued work cannot
-    # leak out of the window.
-    n_iters = 2 if fast else 20
-    agent.total_env_steps = 0
-    agent._env_steps_log = []
-    t0 = time.time()
-    for _ in range(n_iters):
-        one_iter()
-    final_sync = float(np.asarray(agent.losses[-1]))
-    dt = time.time() - t0
-    per_iter_steps = [int(x) for x in agent._env_steps_log]
-    total_steps = agent.env_steps_total()
-    steps_per_sec = total_steps / dt
+    # timed windows: 3 x 7 iterations.  Each window's loop fetches
+    # NOTHING (device dispatch is async and the fused rollouts never
+    # sync); the clock stops on a value fetch that depends on the final
+    # iteration's work, so queued work cannot leak across windows.
+    n_windows = 1 if fast else 3
+    iters_per_window = 2 if fast else 7
+    window_rates = []
+    all_iter_steps = []
+    total_steps = 0
+    total_dt = 0.0
+    for _w in range(n_windows):
+        agent.total_env_steps = 0
+        agent._env_steps_log = []
+        t0 = time.time()
+        for _ in range(iters_per_window):
+            one_iter()
+        final_sync = float(np.asarray(agent.losses[-1]))
+        dt = time.time() - t0
+        steps = agent.env_steps_total()
+        window_rates.append(steps / dt)
+        all_iter_steps.extend(int(x) for x in agent._env_steps_log)
+        total_steps += steps
+        total_dt += dt
+
+    steps_per_sec = float(np.mean(window_rates))
+    spread_pct = 100.0 * (max(window_rates) - min(window_rates)) \
+        / steps_per_sec
+    avg_ep_len = (total_steps
+                  / (n_windows * iters_per_window * 2 * cfg.batch_size))
+    flops_step = analytic_flops_per_agent_step(cfg, avg_ep_len)
+    mfu = steps_per_sec * flops_step / PEAK_FLOPS
 
     result = {
         "metric": "agent_steps_per_sec",
         "value": round(steps_per_sec, 2),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / REF_AGENT_STEPS_PER_SEC, 3),
+        "mfu": round(mfu, 4),
+        "spread_pct": round(spread_pct, 2),
+        "windows": [round(r, 1) for r in window_rates],
     }
     print(json.dumps(result))
-    rollouts_per_iter = max(1, len(per_iter_steps) // n_iters)
-    iters = [sum(per_iter_steps[i:i + rollouts_per_iter])
-             for i in range(0, len(per_iter_steps), rollouts_per_iter)]
-    print(f"# warmup(compile)={warm:.1f}s, timed {n_iters} iters in "
-          f"{dt:.1f}s, {total_steps} agent-steps "
-          f"(per-iter steps min {min(iters) if iters else 0} / "
-          f"max {max(iters) if iters else 0}), final_loss={final_sync:.3f},"
-          f" backend={__import__('jax').default_backend()}",
+    print(f"# warmup(compile)={warm:.1f}s, {n_windows}x"
+          f"{iters_per_window} iters in {total_dt:.1f}s, "
+          f"{total_steps} agent-steps, avg_ep_len={avg_ep_len:.1f}, "
+          f"flops/step={flops_step / 1e9:.1f}G, "
+          f"per-iter steps min {min(all_iter_steps) if all_iter_steps else 0}"
+          f" / max {max(all_iter_steps) if all_iter_steps else 0}, "
+          f"final_loss={final_sync:.3f}, "
+          f"backend={__import__('jax').default_backend()}",
           file=sys.stderr)
 
 

@@ -962,11 +962,20 @@ class Seq2SeqAgent:
         thread per program).  XLA compilation releases the GIL and the
         axon remote-compile service accepts independent programs in
         parallel, so this overlaps the two multi-minute compiles that
-        otherwise serialize at the first training iteration.  Gradients
-        from the warmup dispatches are discarded."""
+        otherwise serialize at the first training iteration.
+
+        On single-device runs the compiled executables are additionally
+        served from the AOT executable cache (utils/aot_cache.py):
+        warm starts deserialize in seconds instead of recompiling
+        through the remote service, which the persistent JAX compile
+        cache cannot capture."""
         import threading
 
+        from dasa_tpu.utils.aot_cache import enabled as aot_enabled
+        from dasa_tpu.utils.aot_cache import load_or_compile
+
         use_noise = self.cfg.consistent_drop
+        use_aot = aot_enabled() and self.mesh is None
         results: Dict[str, Exception] = {}
         # the host env is stateful — build every program's args here,
         # sequentially; only the (thread-safe) jit dispatch runs in
@@ -982,21 +991,32 @@ class Seq2SeqAgent:
             for fb in feedbacks}
         self.env.ix = env_ix0
         self._rollout_counter = counter0
+        cfg_key = self.cfg.to_json()
 
         def compile_one(fb):
             try:
+                env_arrays = self._dev_env.arrays()
                 if fb == "teacher":  # runs first in an iteration
-                    grads, logs = self._device_grad_fn(fb, use_noise)(
-                        self.params, self.tables, self._dev_env.arrays(),
-                        *prebuilt[fb])
+                    t_len = self._teacher_len()
+                    key = ("devgrad", fb, use_noise, t_len)
+                    fn = self._device_grad_fn(fb, use_noise)
+                    args = (self.params, self.tables, env_arrays,
+                            *prebuilt[fb])
                 else:  # later passes accumulate inside the program
+                    key = ("devgradacc", fb, use_noise, 0)
+                    fn = self._device_grad_acc_fn(fb, use_noise)
                     zero = jax.tree_util.tree_map(
                         jnp.zeros_like, self.params["params"])
-                    grads, logs = self._device_grad_acc_fn(
-                        fb, use_noise)(
-                        self.params, self.tables, self._dev_env.arrays(),
-                        zero, *prebuilt[fb])
-                jax.block_until_ready(logs["loss"])
+                    args = (self.params, self.tables, env_arrays, zero,
+                            *prebuilt[fb])
+                if use_aot:
+                    # install the AOT executable so training dispatches
+                    # call it directly (no jit-cache recompile)
+                    self._jit_cache[key] = load_or_compile(
+                        f"{key[0]}_{fb}", fn, args, extra_key=cfg_key)
+                else:  # warm by dispatch; gradients are discarded
+                    grads, logs = fn(*args)
+                    jax.block_until_ready(logs["loss"])
             except Exception as e:  # surface in the caller thread
                 results[fb] = e
 
@@ -1008,6 +1028,12 @@ class Seq2SeqAgent:
             t.join()
         for fb, err in results.items():
             raise RuntimeError(f"precompile({fb}) failed") from err
+        if use_aot and "apply" not in self._jit_cache:
+            zero = jax.tree_util.tree_map(jnp.zeros_like,
+                                          self.params["params"])
+            self._jit_cache["apply"] = load_or_compile(
+                "apply", self._apply_fn(), (self.params, self.opt_state,
+                                            zero), extra_key=cfg_key)
 
     def device_rollout(self, train_ml: Optional[float] = None,
                        train_rl: bool = True,

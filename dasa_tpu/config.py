@@ -252,6 +252,27 @@ class Config:
     def __post_init__(self):
         if self.angle_feat_size % 4 != 0:
             raise ValueError("angle_feat_size must be a multiple of 4")
+        # encoder-type aliases: reference spellings, plus the legacy-zoo
+        # members whose architectures reduce to stacks we already build
+        # (docs/DATA_LIMITS.md): VicModel is DicModel with the full
+        # 12-layer text stack and no vision-only layers
+        # (vilmodel.py:1098-1243); BertLang/HugLang are the text-BERT ->
+        # top-LSTM path (r2rmodel.py:1906-2040 == BEncoder); BertMix/
+        # HugAdd add cross layers after the text BERT
+        # (r2rmodel.py:1755-1904 == BertAdd).
+        et = {"DicEncoder": "Dic", "VicEncoder": "Vic",
+              "HugLang": "BertLang", "HugAdd": "BertMix",
+              "vlbert": "BertImg"}.get(self.encoder_type,
+                                       self.encoder_type)
+        if et == "Vic":
+            et = "Dic"
+            object.__setattr__(self, "d_la_layers", 12)
+            object.__setattr__(self, "d_v_layers", 0)
+        elif et == "BertLang":
+            et = "BEncoder"
+        elif et == "BertMix":
+            et = "BertAdd"
+        object.__setattr__(self, "encoder_type", et)
         if self.remat not in ("never", "percept", "auto", "always"):
             raise ValueError(
                 f"remat must be never|percept|auto|always, got "

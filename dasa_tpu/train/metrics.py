@@ -33,6 +33,21 @@ class MetricsWriter:
         if self.tb is not None:
             self.tb.add_scalar(tag, value, step)
 
+    def write_csv_row(self, row: dict, name: str = "plot_log.csv"):
+        """Append one validation row to the reference's plot CSV
+        (train.py:374-383 writes plot_log.csv with a 20-attempt retry;
+        here a plain append — the plots consume it via
+        scripts/plot_curves.py like tasks/R2R/plot.py)."""
+        import csv
+
+        path = os.path.join(os.path.dirname(self.jsonl_path), name)
+        exists = os.path.exists(path)
+        with open(path, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(row))
+            if not exists:
+                w.writeheader()
+            w.writerow(row)
+
     def flush(self):
         self._jsonl.flush()
         if self.tb is not None:

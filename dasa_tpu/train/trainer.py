@@ -140,6 +140,7 @@ def run_validation(agent: Seq2SeqAgent, world: World, writer, it: int,
                    val_splits=("val_seen", "val_unseen")) -> str:
     loss_str = ""
     current_sr_sum = 0.0
+    csv_row = {"iteration": it}
     for env_name in val_splits:
         agent.env = world.envs[env_name]
         results = agent.test(feedback="argmax")
@@ -147,6 +148,7 @@ def run_validation(agent: Seq2SeqAgent, world: World, writer, it: int,
         loss_str += ", %s " % env_name
         for metric, val in summary.items():
             loss_str += ", %s: %.3f" % (metric, val)
+            csv_row[f"{env_name} {metric}"] = round(float(val), 6)
             if writer:
                 writer.add_scalar(f"metric/{env_name}_{metric}", val, it)
         sr = summary["success_rate"]
@@ -161,6 +163,8 @@ def run_validation(agent: Seq2SeqAgent, world: World, writer, it: int,
     if current_sr_sum > best.setdefault("sr_sum", 0.0):
         best["sr_sum"] = current_sr_sum
         agent.save(it, os.path.join(snap_dir, "best_sr_sum"))
+    if writer:
+        writer.write_csv_row(csv_row)
     return loss_str
 
 

@@ -79,3 +79,19 @@ def test_double_decoder_sums_logits():
     assert h.shape == (b, H) and hd.shape == (b, H)
     # the two decoders have independent params => different streams
     assert not np.allclose(np.asarray(h), np.asarray(hd))
+
+def test_encoder_type_aliases():
+    """Legacy-zoo encoder spellings resolve to the equivalent built
+    stacks (docs/DATA_LIMITS.md mapping)."""
+    from dasa_tpu.config import Config
+
+    c = Config(encoder_type="VicEncoder")
+    assert c.encoder_type == "Dic" and c.d_la_layers == 12 \
+        and c.d_v_layers == 0
+    assert Config(encoder_type="BertLang").encoder_type == "BEncoder"
+    assert Config(encoder_type="HugLang").encoder_type == "BEncoder"
+    assert Config(encoder_type="BertMix").encoder_type == "BertAdd"
+    assert Config(encoder_type="HugAdd").encoder_type == "BertAdd"
+    assert Config(encoder_type="vlbert").encoder_type == "BertImg"
+    assert Config(encoder_type="DicEncoder").encoder_type == "Dic"
+    assert Config(encoder_type="Dic").encoder_type == "Dic"
