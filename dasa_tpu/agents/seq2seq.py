@@ -651,12 +651,26 @@ class Seq2SeqAgent:
         max_path = max(len(item["path"]) for item in self.env.data)
         return min(T, max_path + 1)
 
-    def _make_device_fused_loss_fn(self, feedback: str, use_noise: bool):
+    def _make_device_fused_loss_fn(self, feedback: str, use_noise: bool,
+                                   combined: bool = False):
         """Sample/argmax device pass: ONE scan computing forward, env
         transition, reward, and loss bookkeeping per step, with an
         all-ended early-exit cond (the A2C tail runs reversed over the
         recorded outs).  See _make_device_loss_fn for why this beats an
-        act/replay split under sampled feedback."""
+        act/replay split under sampled feedback.
+
+        combined=True builds the SLOT-WEIGHTED variant that runs the
+        teacher-ML pass and the sampled-RL pass of one optimizer
+        iteration as a single 2x-wide program (the two passes share per
+        -step weight reads, and the MXU rows at batch 20 are mostly
+        padding — measured scaling in BENCH_NOTES.md).  Inputs change
+        meaning: ml_weight/rl_weight/ent_weight become per-slot (B,)
+        vectors (ml_weight pre-divided by the pass batch so loss
+        normalization is host-folded), env_noise is per-slot (B, 1, F)
+        (each pass keeps its own featdrop mask), and a trailing
+        is_sample (B,) bool selects policy-picked vs teacher actions
+        per slot.  Per-pass losses/grads equal the split programs'
+        exactly when dropout is inactive (tests/test_combined.py)."""
         from dasa_tpu.env.device_env import device_obs, device_transition
 
         cfg = self.cfg
@@ -666,7 +680,7 @@ class Seq2SeqAgent:
 
         def loss_fn(inner_params, tables, env_arrays, node0, view0, goal,
                     start, instr, valid, seq_len, base_rng, env_noise,
-                    ml_weight, rl_weight, ent_weight):
+                    ml_weight, rl_weight, ent_weight, is_sample=None):
             inner_params = self._cast_params_once(inner_params)
             params = {"params": inner_params}
             cached = policy.apply(
@@ -723,6 +737,8 @@ class Seq2SeqAgent:
                         jax.random.fold_in(step_rng, 2), masked, axis=-1)
                 else:  # argmax
                     a = jnp.argmax(masked, axis=-1)
+                if combined:  # teacher slots walk the shortest path
+                    a = jnp.where(is_sample, a, sobs["teacher"])
                 a = jax.lax.stop_gradient(a).astype(jnp.int32)
                 a_rec = jnp.minimum(a, sobs["cand_n"])
                 ce = -jnp.take_along_axis(
@@ -741,13 +757,30 @@ class Seq2SeqAgent:
                         blogp, sobs["back_teacher"][:, None], axis=1)[:, 0]
                 if cfg.pred_pm:
                     pm = aux["pm_score"].astype(jnp.float32)
-                    real = active.any().astype(jnp.float32)
-                    outs["pm_mse"] = jnp.mean((pm - pm_target) ** 2) * real
+                    sq = (pm - pm_target) ** 2
+                    if combined:
+                        # split semantics: pm term reaches total_loss
+                        # as ml_w * pm_w * mean_b(sq) / pass_batch; the
+                        # per-slot ml_weight carries one /pass_batch, so
+                        # divide the weighted sum by pass_batch again
+                        mlrow = ml_weight > 0
+                        real = (active & mlrow).any().astype(jnp.float32)
+                        outs["pm_mse"] = ((sq * ml_weight).sum()
+                                          / (batch // 2)) * real
+                    else:
+                        real = active.any().astype(jnp.float32)
+                        outs["pm_mse"] = jnp.mean(sq) * real
                 if cfg.agent_type == "advanced":
                     pp = aux["pred_progress"].astype(jnp.float32)
-                    real = active.any().astype(jnp.float32)
-                    outs["adv_pm_mse"] = (jnp.mean((pp - pm_target) ** 2)
-                                          * real)
+                    sq = (pp - pm_target) ** 2
+                    if combined:
+                        mlrow = ml_weight > 0
+                        real = (active & mlrow).any().astype(jnp.float32)
+                        outs["adv_pm_mse"] = ((sq * ml_weight).sum()
+                                              / (batch // 2)) * real
+                    else:
+                        real = active.any().astype(jnp.float32)
+                        outs["adv_pm_mse"] = jnp.mean(sq) * real
                 return new_state, a, outs
 
             def zero_outs():
@@ -805,10 +838,22 @@ class Seq2SeqAgent:
                 body, (node0, view0, ended0, state0),
                 jnp.arange(T, dtype=jnp.int32))
 
-            ml_loss = outs["ce"].sum()
-            forth_loss = ml_loss
-            if cfg.pred_back:
-                ml_loss = ml_loss + cfg.back_weight * outs["back_ce"].sum()
+            if combined:
+                # ml_weight rows carry ml_scalar/pass_batch, so the
+                # weighted sums below equal each split pass's normalized
+                # ml term; rows of the RL half have ml_weight == 0
+                w = ml_weight[None, :]
+                ml_loss = (outs["ce"] * w).sum()
+                forth_loss = ml_loss
+                if cfg.pred_back:
+                    ml_loss = ml_loss + cfg.back_weight * (
+                        outs["back_ce"] * w).sum()
+            else:
+                ml_loss = outs["ce"].sum()
+                forth_loss = ml_loss
+                if cfg.pred_back:
+                    ml_loss = ml_loss \
+                        + cfg.back_weight * outs["back_ce"].sum()
             logs = {"forth_loss": forth_loss,
                     "entropy": outs["ent"].sum(),
                     "env_steps": outs["env_steps"].sum()}
@@ -820,7 +865,7 @@ class Seq2SeqAgent:
                 adv_pm = outs["adv_pm_mse"].sum()
                 ml_loss = ml_loss + 10.0 * adv_pm
                 logs["pm_loss"] = adv_pm
-            total_loss = ml_weight * ml_loss / batch
+            total_loss = ml_loss if combined else ml_weight * ml_loss / batch
             logs["ml_loss"] = ml_loss
 
             # A2C bootstrap at t=T on the final state
@@ -837,9 +882,18 @@ class Seq2SeqAgent:
                 r, v, logp_a, ent, m = xs
                 g = g * cfg.gamma + r
                 adv = jax.lax.stop_gradient(g - v)
-                pol = (-logp_a * adv * m).sum()
-                val = 0.5 * (((g - v) ** 2) * m).sum()
-                step_loss = pol + val + (-ent_weight * ent * m).sum()
+                if combined:
+                    # rl_weight rows are the RL-slot indicator; ent
+                    # weight is per-slot (0 on the teacher half)
+                    row = (-logp_a * adv * m) \
+                        + 0.5 * (((g - v) ** 2) * m) \
+                        + (-ent_weight * ent * m)
+                    step_loss = (row * rl_weight).sum()
+                    val = (0.5 * (((g - v) ** 2) * m) * rl_weight).sum()
+                else:
+                    pol = (-logp_a * adv * m).sum()
+                    val = 0.5 * (((g - v) ** 2) * m).sum()
+                    step_loss = pol + val + (-ent_weight * ent * m).sum()
                 return g, (step_loss, val)
 
             _, (step_losses, critic_losses) = jax.lax.scan(
@@ -847,14 +901,25 @@ class Seq2SeqAgent:
                 (outs["reward"], outs["value"], outs["logp_a"],
                  outs["ent"], outs["rl_mask"]), reverse=True)
             rl_loss = step_losses.sum()
-            total = outs["rl_mask"].sum()
-            if cfg.normalize_loss == "total":
-                rl_loss = rl_loss / jnp.maximum(total, 1.0)
-            elif cfg.normalize_loss == "batch":
-                rl_loss = rl_loss / batch
-            total_loss = total_loss + rl_weight * rl_loss
-            logs["rl_loss"] = rl_weight * rl_loss
-            logs["critic_loss"] = rl_weight * critic_losses.sum()
+            if combined:
+                # per-pass normalizers over the RL slots only
+                total = (outs["rl_mask"] * rl_weight[None, :]).sum()
+                if cfg.normalize_loss == "total":
+                    rl_loss = rl_loss / jnp.maximum(total, 1.0)
+                elif cfg.normalize_loss == "batch":
+                    rl_loss = rl_loss / jnp.maximum(rl_weight.sum(), 1.0)
+                total_loss = total_loss + rl_loss
+                logs["rl_loss"] = rl_loss
+                logs["critic_loss"] = critic_losses.sum()
+            else:
+                total = outs["rl_mask"].sum()
+                if cfg.normalize_loss == "total":
+                    rl_loss = rl_loss / jnp.maximum(total, 1.0)
+                elif cfg.normalize_loss == "batch":
+                    rl_loss = rl_loss / batch
+                total_loss = total_loss + rl_weight * rl_loss
+                logs["rl_loss"] = rl_weight * rl_loss
+                logs["critic_loss"] = rl_weight * critic_losses.sum()
             logs["total"] = total
             logs["loss"] = total_loss
             return total_loss, logs
@@ -900,6 +965,122 @@ class Seq2SeqAgent:
 
             self._jit_cache[key] = run
         return self._jit_cache[key]
+
+    def _device_combined_grad_fn(self, feedback: str, use_noise: bool,
+                                 accumulate: bool):
+        """Rollout-grad over the slot-weighted combined program (both
+        passes of one optimizer iteration in one 2B-wide scan)."""
+        key = ("devcomb", feedback, use_noise, accumulate)
+        if key not in self._jit_cache:
+            loss_fn = self._make_device_fused_loss_fn(
+                feedback, use_noise, combined=True)
+
+            if accumulate:
+                @functools.partial(jax.jit, donate_argnums=(3,))
+                def run(params, tables, env_arrays, grads_in, *args):
+                    (loss, logs), grads = jax.value_and_grad(
+                        loss_fn, has_aux=True)(params["params"], tables,
+                                               env_arrays, *args)
+                    grads = jax.tree_util.tree_map(jnp.add, grads,
+                                                   grads_in)
+                    return grads, logs
+            else:
+                @jax.jit
+                def run(params, tables, env_arrays, *args):
+                    (loss, logs), grads = jax.value_and_grad(
+                        loss_fn, has_aux=True)(params["params"], tables,
+                                               env_arrays, *args)
+                    return grads, logs
+
+            self._jit_cache[key] = run
+        return self._jit_cache[key]
+
+    def _device_combined_args(self, feedback: str,
+                              train_ml: Optional[float],
+                              train_rl: bool):
+        """Two env minibatches (teacher-ML half, policy-RL half) and the
+        per-slot weight vectors for the combined program.  Advances the
+        env iterator twice and the rollout rng counter by two, matching
+        the split passes' data/rng stream structure."""
+        from dasa_tpu.env.device_env import episode_inputs
+
+        cfg = self.cfg
+        env = self.env
+        dev = self._device_env_tables()
+        B = cfg.batch_size
+
+        def grab():
+            env.reset()
+            ep = episode_inputs(env, dev)
+            st = env._static
+            return (ep, st["instr"].copy(), ~st["pad_mask"],
+                    st["seq_len"].copy())
+
+        ep1, instr1, valid1, len1 = grab()  # teacher-ML half
+        ep2, instr2, valid2, len2 = grab()  # policy-RL half
+        rng_t = jax.random.fold_in(self._base_rng, self._rollout_counter)
+        rng_s = jax.random.fold_in(self._base_rng,
+                                   self._rollout_counter + 1)
+        self._rollout_counter += 2
+        if cfg.consistent_drop:  # one featdrop mask per pass
+            noise = jnp.stack([self._noise_fn()(rng_t),
+                               self._noise_fn()(rng_s)])
+        else:
+            noise = jnp.ones((2, cfg.feature_size), self.dtype)
+        env_noise = jnp.repeat(noise, B, axis=0)[:, None, :]
+
+        mlw = float(train_ml if train_ml is not None else 0.0) / B
+        ml_w = np.concatenate([np.full(B, mlw, np.float32),
+                               np.zeros(B, np.float32)])
+        rlw = 1.0 if train_rl else 0.0
+        rl_w = np.concatenate([np.zeros(B, np.float32),
+                               np.full(B, rlw, np.float32)])
+        ent = 0.01 if (train_rl and feedback == "sample") else 0.0
+        ent_w = np.concatenate([np.zeros(B, np.float32),
+                                np.full(B, ent, np.float32)])
+        is_sample = np.concatenate([np.zeros(B, bool), np.ones(B, bool)])
+
+        def cat(a, b):
+            return self._put_batch(np.concatenate([np.asarray(a),
+                                                   np.asarray(b)], 0))
+
+        return (cat(ep1["node0"], ep2["node0"]),
+                cat(ep1["view0"], ep2["view0"]),
+                cat(ep1["goal"], ep2["goal"]),
+                cat(ep1["start"], ep2["start"]),
+                cat(instr1, instr2), cat(valid1, valid2),
+                cat(len1, len2), rng_t, env_noise,
+                self._put_batch(ml_w), self._put_batch(rl_w),
+                self._put_batch(ent_w), self._put_batch(is_sample))
+
+    def use_combined_rollout(self) -> bool:
+        """The teacher-ML + sampled-RL accumulate pair runs as ONE
+        2B-wide device program when enabled (cfg.fuse_passes) and the
+        ML half exists (ml_weight != 0)."""
+        return (self.cfg.fuse_passes == "auto"
+                and self.use_device_rollout())
+
+    def device_rollout_combined(self, train_ml: Optional[float],
+                                feedback: str = "sample") -> None:
+        """Both passes of one accumulate_gradient('sample') call as a
+        single fused act+grad dispatch; fetches nothing."""
+        use_noise = self.cfg.consistent_drop
+        args = self._device_combined_args(feedback, train_ml, True)
+        if self._grad_accum is None:
+            grads, logs = self._device_combined_grad_fn(
+                feedback, use_noise, False)(
+                self.params, self.tables, self._dev_env.arrays(), *args)
+        else:  # aug alternation: accumulate inside the program
+            grads, logs = self._device_combined_grad_fn(
+                feedback, use_noise, True)(
+                self.params, self.tables, self._dev_env.arrays(),
+                self._grad_accum, *args)
+        self._grad_accum = grads
+        self._env_steps_log.append(logs["env_steps"])
+        for k2, v in logs.items():
+            if k2 != "env_steps":
+                self.logs[k2].append(v)
+        self.losses.append(logs["loss"])
 
     def _device_env_tables(self):
         """Device tables for the CURRENT env (the trainer swaps org/aug
@@ -1427,10 +1608,18 @@ class Seq2SeqAgent:
                 self.device_rollout(train_ml=cfg.teacher_weight,
                                     train_rl=False, feedback="teacher")
             elif feedback == "sample":
-                self.device_rollout(train_ml=ml_weight, train_rl=False,
-                                    feedback="teacher")
-                self.device_rollout(train_ml=None, train_rl=True,
-                                    feedback="sample")
+                if self.use_combined_rollout() and ml_weight:
+                    # both passes as ONE 2B-wide program: the teacher
+                    # half rides the sampled scan's weight reads for
+                    # free (BENCH_NOTES.md round-3 batch-width probe)
+                    self.device_rollout_combined(ml_weight,
+                                                 feedback="sample")
+                else:
+                    self.device_rollout(train_ml=ml_weight,
+                                        train_rl=False,
+                                        feedback="teacher")
+                    self.device_rollout(train_ml=None, train_rl=True,
+                                        feedback="sample")
             else:
                 raise ValueError(feedback)
             return

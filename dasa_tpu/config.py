@@ -122,6 +122,11 @@ class Config:
     d_ctx_size: int = 2048
     d_enc_hidden_size: int = 768
     d_dropout_ratio: float = 0.4
+    # BERT-internal dropout probs (BertConfig defaults in the reference,
+    # vilmodel.py); exposed so tests can run the cross-modal stack
+    # noise-free
+    d_hidden_dropout_prob: float = 0.1
+    d_attn_dropout_prob: float = 0.1
     d_bidirectional: bool = True
     d_transformer_update: bool = False   # update lang-BERT weights
     d_update_add_layer: bool = False     # update cross-modal layers
@@ -207,6 +212,12 @@ class Config:
     # auto: on for training rollouts that don't need the host env
     # mid-episode; never: always use the host act/replay path.
     device_rollout: str = "auto"   # auto | never
+    # Run the teacher-ML and sampled-RL passes of one accumulate pair
+    # as ONE 2B-wide slot-weighted device program (the MXU rows at
+    # batch 20 are mostly padding, so the teacher half rides the
+    # sampled scan's weight reads nearly free — BENCH_NOTES.md round-3
+    # batch-width probe).  never: dispatch the two passes separately.
+    fuse_passes: str = "never"     # auto | never
     seed: int = 10
     views: int = 36                # panorama views (12 headings x 3 elevations)
     max_candidates: int = 16       # fixed candidate padding incl. STOP slot

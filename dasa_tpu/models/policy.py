@@ -78,6 +78,8 @@ def bert_config_from(cfg: Config) -> BertConfig:
         v_layers=cfg.d_v_layers,
         update_lang_bert=cfg.d_transformer_update,
         update_add_layer=cfg.d_update_add_layer,
+        hidden_dropout_prob=cfg.d_hidden_dropout_prob,
+        attention_probs_dropout_prob=cfg.d_attn_dropout_prob,
     )
 
 
