@@ -113,6 +113,10 @@ def main():
         # A/B knobs for the round-3 levers (both default-on in Config)
         use_pallas=os.environ.get("DASA_BENCH_PALLAS", "auto"),
         bf16_grad_accum=os.environ.get("DASA_BENCH_BF16ACC", "1") == "1",
+        # fused teacher+sample accumulate pair: 1364 -> 1445 steps/s
+        # (the teacher half rides the 2B-wide sampled scan's weight
+        # reads nearly free; BENCH_NOTES.md round-3)
+        fuse_passes=os.environ.get("DASA_BENCH_FUSE", "auto"),
     )
     if fast:  # plumbing smoke for CPU runs, not a benchmark
         cfg = cfg.replace(d_la_layers=1, d_vl_layers=1, batch_size=4,

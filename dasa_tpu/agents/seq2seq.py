@@ -1167,9 +1167,17 @@ class Seq2SeqAgent:
         # reshuffle the underlying item order).
         env_ix0 = self.env.ix
         counter0 = self._rollout_counter
-        prebuilt = {fb: self._device_rollout_args(
-            fb, 0.2 if fb == "teacher" else None, fb == "sample")
-            for fb in feedbacks}
+        combined = self.use_combined_rollout()
+        if combined:
+            # fuse_passes: the training loop dispatches ONE 2B-wide
+            # program per accumulate pair instead of the two split ones
+            feedbacks = ("combined",)
+            prebuilt = {"combined": self._device_combined_args(
+                "sample", self.cfg.ml_weight or 0.2, True)}
+        else:
+            prebuilt = {fb: self._device_rollout_args(
+                fb, 0.2 if fb == "teacher" else None, fb == "sample")
+                for fb in feedbacks}
         self.env.ix = env_ix0
         self._rollout_counter = counter0
         cfg_key = self.cfg.to_json()
@@ -1177,7 +1185,13 @@ class Seq2SeqAgent:
         def compile_one(fb):
             try:
                 env_arrays = self._dev_env.arrays()
-                if fb == "teacher":  # runs first in an iteration
+                if fb == "combined":  # fused teacher+sample pair
+                    key = ("devcomb", "sample", use_noise, False)
+                    fn = self._device_combined_grad_fn(
+                        "sample", use_noise, False)
+                    args = (self.params, self.tables, env_arrays,
+                            *prebuilt[fb])
+                elif fb == "teacher":  # runs first in an iteration
                     t_len = self._teacher_len()
                     key = ("devgrad", fb, use_noise, t_len)
                     fn = self._device_grad_fn(fb, use_noise)
