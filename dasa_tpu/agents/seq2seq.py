@@ -356,6 +356,10 @@ class Seq2SeqAgent:
             if (cfg.remat in ("always", "percept")
                     or (cfg.remat == "auto" and n_steps > 16)):
                 percept_one = jax.checkpoint(percept_one)
+            elif cfg.remat == "dots":
+                percept_one = jax.checkpoint(
+                    percept_one,
+                    policy=jax.checkpoint_policies.checkpoint_dots)
             percepts = jax.vmap(percept_one)(all_sobs, steps_ax)
 
             def step(carry, xs):
@@ -823,6 +827,13 @@ class Seq2SeqAgent:
             # config trades HBM for the backward recompute FLOPs
             if cfg.remat == "always" or (cfg.remat == "auto" and T > 16):
                 real_step = jax.checkpoint(real_step)
+            elif cfg.remat == "dots":
+                # keep MXU outputs, recompute elementwise chains in the
+                # backward: trades cheap VPU FLOPs for the scan's saved
+                # -residual HBM traffic
+                real_step = jax.checkpoint(
+                    real_step,
+                    policy=jax.checkpoint_policies.checkpoint_dots)
 
             def body(carry, t):
                 ended = carry[2]

@@ -237,8 +237,10 @@ class Config:
     # the headline config (whole-step remat makes XLA stack per-step
     # weight-grad partials, OOMing where never fits); percept =
     # recompute only the per-step encoder block (bounds residual HBM
-    # for larger models); auto = whole-step remat past 16 steps;
-    # always = whole-step remat at any length
+    # for larger models); dots = keep MXU outputs only, recompute
+    # elementwise chains in the backward (jax checkpoint_dots policy);
+    # auto = whole-step remat past 16 steps; always = whole-step remat
+    # at any length
     remat: str = "never"
     param_dtype: str = "float32"
     # cast f32 params to the compute dtype ONCE per training program
@@ -284,10 +286,14 @@ class Config:
         elif et == "BertMix":
             et = "BertAdd"
         object.__setattr__(self, "encoder_type", et)
-        if self.remat not in ("never", "percept", "auto", "always"):
+        if self.remat not in ("never", "percept", "dots", "auto",
+                              "always"):
             raise ValueError(
-                f"remat must be never|percept|auto|always, got "
+                f"remat must be never|percept|dots|auto|always, got "
                 f"{self.remat!r}")
+        if self.fuse_passes not in ("auto", "never"):
+            raise ValueError(f"fuse_passes must be auto|never, got "
+                             f"{self.fuse_passes!r}")
         if not self.connectivity_dir:
             object.__setattr__(self, "connectivity_dir",
                                _default_connectivity_dir())

@@ -89,6 +89,10 @@ def main():
     ap.add_argument("--out", default="/tmp/dasa_trace")
     ap.add_argument("--parse-only", default=None,
                     help="skip capture; parse this logdir")
+    ap.add_argument("--fuse", action="store_true",
+                    help="trace the combined 2B-wide accumulate-pair "
+                         "program (bench.py's default) instead of the "
+                         "split teacher+sample pair")
     args = ap.parse_args()
 
     logdir = args.parse_only or args.out
@@ -117,6 +121,8 @@ def main():
             connectivity_dir=CONNECTIVITY, compute_dtype="bfloat16",
             remat=os.environ.get("DASA_BENCH_REMAT", "never"),
         )
+        if args.fuse:
+            cfg = cfg.replace(fuse_passes="auto")
         scans = ["17DRP5sb8fy", "2t7WUuJeko7"]
         fixture = "/root/repo/data/bench_fixture.json"
         if os.path.exists(fixture):
@@ -142,20 +148,23 @@ def main():
         assert agent.use_device_rollout()
         print(f"backend={jax.default_backend()}", flush=True)
         agent.precompile_device()
-        # warm both programs outside the trace
-        agent.zero_grad()
-        agent.device_rollout(train_ml=0.2, train_rl=False,
-                             feedback="teacher")
-        agent.device_rollout(train_ml=None, train_rl=True,
-                             feedback="sample")
-        float(np.asarray(agent.losses[-1]))
-        with jax.profiler.trace(logdir):
-            for _ in range(args.n):
-                agent.zero_grad()
+
+        def one_pair():
+            agent.zero_grad()
+            if args.fuse:
+                agent.device_rollout_combined(0.2, feedback="sample")
+            else:
                 agent.device_rollout(train_ml=0.2, train_rl=False,
                                      feedback="teacher")
                 agent.device_rollout(train_ml=None, train_rl=True,
                                      feedback="sample")
+
+        # warm the program(s) outside the trace
+        one_pair()
+        float(np.asarray(agent.losses[-1]))
+        with jax.profiler.trace(logdir):
+            for _ in range(args.n):
+                one_pair()
             float(np.asarray(agent.losses[-1]))  # value fence
 
     paths = sorted(glob.glob(os.path.join(
