@@ -656,7 +656,7 @@ class Seq2SeqAgent:
         return min(T, max_path + 1)
 
     def _make_device_fused_loss_fn(self, feedback: str, use_noise: bool,
-                                   combined: bool = False):
+                                   combined: bool = False, t1: int = 0):
         """Sample/argmax device pass: ONE scan computing forward, env
         transition, reward, and loss bookkeeping per step, with an
         all-ended early-exit cond (the A2C tail runs reversed over the
@@ -674,7 +674,14 @@ class Seq2SeqAgent:
         (each pass keeps its own featdrop mask), and a trailing
         is_sample (B,) bool selects policy-picked vs teacher actions
         per slot.  Per-pass losses/grads equal the split programs'
-        exactly when dropout is inactive (tests/test_combined.py)."""
+        exactly when dropout is inactive (tests/test_combined.py).
+
+        t1 (combined only): the env's _teacher_len.  Teacher slots walk
+        the shortest path, so they are PROVABLY all ended after t1
+        steps — when 0 < t1 < T the scan drops to pass-width B for
+        steps [t1, T) (and for the A2C bootstrap forward), skipping the
+        dead teacher rows' compute.  Exact: ended rows contribute
+        zeros, and every per-row op is row-independent."""
         from dasa_tpu.env.device_env import device_obs, device_transition
 
         cfg = self.cfg
@@ -702,152 +709,222 @@ class Seq2SeqAgent:
                 h=jnp.zeros((batch, dec_h), self.dtype),
                 c=jnp.zeros((batch, dec_h), self.dtype),
                 h1=jnp.zeros((batch, dec_h), self.dtype))
+            # pm normalization uses the PASS batch (the split programs
+            # normalize per pass), not the current segment width
+            pass_b = batch // 2 if combined else batch
 
-            def percept_apply(inner, cached_in, inputs, drop_rng):
-                return policy.apply(
-                    {"params": inner}, cached_in, valid, seq_len, inputs,
-                    deterministic=False, is_test=False,
-                    env_noise=env_noise if use_noise else None,
-                    rngs={"dropout": drop_rng},
-                    lstm_pallas=self._lstm_pallas,
-                    method=DasaPolicy.percept_step)
+            def make_segment(sub):
+                """Per-step machinery over a batch sub-slice.  sub is
+                identity for the full-width segment; for the tail
+                segment it selects the sample half (teacher rows are
+                all ended there — see t1 in the docstring)."""
+                cached_s = jax.tree_util.tree_map(sub, cached)
+                valid_s, seq_len_s = sub(valid), sub(seq_len)
+                noise_s = (sub(env_noise)
+                           if env_noise is not None and combined
+                           else env_noise)
+                pm_target_s = sub(pm_target)
+                goal_s, start_s = sub(goal), sub(start)
+                goal_local_s, total_dist_s = (sub(goal_local),
+                                              sub(total_dist))
+                mlw_s = sub(ml_weight) if combined else ml_weight
+                iss_s = sub(is_sample) if combined else None
+                width = valid_s.shape[0]
 
-            if cfg.remat == "percept":
-                # middle remat point: recompute only the encoder block
-                # during backward; its residuals (per-token activations
-                # of the cross layers + top LSTM) dominate the scan's
-                # saved-state traffic, while its inputs are small
-                percept_apply = jax.checkpoint(percept_apply)
+                def percept_apply(inner, inputs, drop_rng):
+                    return policy.apply(
+                        {"params": inner}, cached_s, valid_s, seq_len_s,
+                        inputs, deterministic=False, is_test=False,
+                        env_noise=noise_s if use_noise else None,
+                        rngs={"dropout": drop_rng},
+                        lstm_pallas=self._lstm_pallas,
+                        method=DasaPolicy.percept_step)
 
-            def policy_losses(sobs, state, t, active):
-                """Shared per-step forward + IL/RL bookkeeping (the
-                replay body of _make_loss_fn, fed device-built obs)."""
-                inputs = make_step_inputs(cfg, tables, sobs)
-                step_rng = jax.random.fold_in(base_rng, t)
-                percept = percept_apply(
-                    inner_params, cached, inputs,
-                    jax.random.fold_in(step_rng, 0))
-                new_state, logit, value, aux = policy.apply(
-                    params, percept, valid, state, sobs["is_first"],
-                    deterministic=False, already_dropfeat=use_noise,
-                    rngs={"dropout": jax.random.fold_in(step_rng, 1)},
-                    method=DasaPolicy.decode_from_percept)
-                logit = logit.astype(jnp.float32)
-                masked = jnp.where(sobs["logit_mask"], NEG_INF, logit)
-                logp = jax.nn.log_softmax(masked, axis=-1)
-                p = jnp.exp(logp)
-                if feedback == "sample":
-                    a = jax.random.categorical(
-                        jax.random.fold_in(step_rng, 2), masked, axis=-1)
-                else:  # argmax
-                    a = jnp.argmax(masked, axis=-1)
-                if combined:  # teacher slots walk the shortest path
-                    a = jnp.where(is_sample, a, sobs["teacher"])
-                a = jax.lax.stop_gradient(a).astype(jnp.int32)
-                a_rec = jnp.minimum(a, sobs["cand_n"])
-                ce = -jnp.take_along_axis(
-                    logp, sobs["teacher"][:, None], axis=1)[:, 0]
-                ce = jnp.where(active, ce, 0.0)
-                logp_a = jnp.take_along_axis(
-                    logp, a_rec[:, None], axis=1)[:, 0]
-                outs = {"ce": ce, "logp_a": logp_a,
-                        "ent": _entropy(logp, p),
-                        "value": value.astype(jnp.float32)}
-                if cfg.pred_back:
-                    back = jnp.where(sobs["logit_mask"], NEG_INF,
-                                     aux["back_logit"].astype(jnp.float32))
-                    blogp = jax.nn.log_softmax(back, axis=-1)
-                    outs["back_ce"] = -jnp.take_along_axis(
-                        blogp, sobs["back_teacher"][:, None], axis=1)[:, 0]
-                if cfg.pred_pm:
-                    pm = aux["pm_score"].astype(jnp.float32)
-                    sq = (pm - pm_target) ** 2
-                    if combined:
-                        # split semantics: pm term reaches total_loss
-                        # as ml_w * pm_w * mean_b(sq) / pass_batch; the
-                        # per-slot ml_weight carries one /pass_batch, so
-                        # divide the weighted sum by pass_batch again
-                        mlrow = ml_weight > 0
-                        real = (active & mlrow).any().astype(jnp.float32)
-                        outs["pm_mse"] = ((sq * ml_weight).sum()
-                                          / (batch // 2)) * real
-                    else:
-                        real = active.any().astype(jnp.float32)
-                        outs["pm_mse"] = jnp.mean(sq) * real
-                if cfg.agent_type == "advanced":
-                    pp = aux["pred_progress"].astype(jnp.float32)
-                    sq = (pp - pm_target) ** 2
-                    if combined:
-                        mlrow = ml_weight > 0
-                        real = (active & mlrow).any().astype(jnp.float32)
-                        outs["adv_pm_mse"] = ((sq * ml_weight).sum()
-                                              / (batch // 2)) * real
-                    else:
-                        real = active.any().astype(jnp.float32)
-                        outs["adv_pm_mse"] = jnp.mean(sq) * real
-                return new_state, a, outs
+                if cfg.remat == "percept":
+                    # middle remat point: recompute only the encoder
+                    # block during backward; its residuals (per-token
+                    # activations of the cross layers + top LSTM)
+                    # dominate the scan's saved-state traffic, while
+                    # its inputs are small
+                    percept_apply = jax.checkpoint(percept_apply)
 
-            def zero_outs():
-                z = jnp.zeros((batch,), jnp.float32)
-                outs = {"ce": z, "logp_a": z, "ent": z, "value": z,
-                        "reward": z, "rl_mask": z,
-                        "env_steps": jnp.asarray(0, jnp.int32)}
-                if cfg.pred_back:
-                    outs["back_ce"] = z
-                if cfg.pred_pm:
-                    outs["pm_mse"] = jnp.asarray(0.0, jnp.float32)
-                if cfg.agent_type == "advanced":
-                    outs["adv_pm_mse"] = jnp.asarray(0.0, jnp.float32)
-                return outs
+                def policy_losses(sobs, state, t, active):
+                    """Shared per-step forward + IL/RL bookkeeping (the
+                    replay body of _make_loss_fn, fed device obs)."""
+                    inputs = make_step_inputs(cfg, tables, sobs)
+                    step_rng = jax.random.fold_in(base_rng, t)
+                    percept = percept_apply(
+                        inner_params, inputs,
+                        jax.random.fold_in(step_rng, 0))
+                    new_state, logit, value, aux = policy.apply(
+                        params, percept, valid_s, state,
+                        sobs["is_first"],
+                        deterministic=False, already_dropfeat=use_noise,
+                        rngs={"dropout": jax.random.fold_in(step_rng,
+                                                            1)},
+                        method=DasaPolicy.decode_from_percept)
+                    logit = logit.astype(jnp.float32)
+                    masked = jnp.where(sobs["logit_mask"], NEG_INF,
+                                       logit)
+                    logp = jax.nn.log_softmax(masked, axis=-1)
+                    p = jnp.exp(logp)
+                    if feedback == "sample":
+                        a = jax.random.categorical(
+                            jax.random.fold_in(step_rng, 2), masked,
+                            axis=-1)
+                    else:  # argmax
+                        a = jnp.argmax(masked, axis=-1)
+                    if combined:  # teacher slots walk shortest path
+                        a = jnp.where(iss_s, a, sobs["teacher"])
+                    a = jax.lax.stop_gradient(a).astype(jnp.int32)
+                    a_rec = jnp.minimum(a, sobs["cand_n"])
+                    ce = -jnp.take_along_axis(
+                        logp, sobs["teacher"][:, None], axis=1)[:, 0]
+                    ce = jnp.where(active, ce, 0.0)
+                    logp_a = jnp.take_along_axis(
+                        logp, a_rec[:, None], axis=1)[:, 0]
+                    outs = {"ce": ce, "logp_a": logp_a,
+                            "ent": _entropy(logp, p),
+                            "value": value.astype(jnp.float32)}
+                    if cfg.pred_back:
+                        back = jnp.where(
+                            sobs["logit_mask"], NEG_INF,
+                            aux["back_logit"].astype(jnp.float32))
+                        blogp = jax.nn.log_softmax(back, axis=-1)
+                        outs["back_ce"] = -jnp.take_along_axis(
+                            blogp, sobs["back_teacher"][:, None],
+                            axis=1)[:, 0]
+                    if cfg.pred_pm:
+                        pm = aux["pm_score"].astype(jnp.float32)
+                        sq = (pm - pm_target_s) ** 2
+                        if combined:
+                            # split semantics: pm reaches total_loss as
+                            # ml_w * pm_w * mean_b(sq) / pass_batch;
+                            # the per-slot ml_weight carries one
+                            # /pass_batch, so divide the weighted sum
+                            # by pass_batch again
+                            mlrow = mlw_s > 0
+                            real = (active
+                                    & mlrow).any().astype(jnp.float32)
+                            outs["pm_mse"] = ((sq * mlw_s).sum()
+                                              / pass_b) * real
+                        else:
+                            real = active.any().astype(jnp.float32)
+                            outs["pm_mse"] = jnp.mean(sq) * real
+                    if cfg.agent_type == "advanced":
+                        pp = aux["pred_progress"].astype(jnp.float32)
+                        sq = (pp - pm_target_s) ** 2
+                        if combined:
+                            mlrow = mlw_s > 0
+                            real = (active
+                                    & mlrow).any().astype(jnp.float32)
+                            outs["adv_pm_mse"] = ((sq * mlw_s).sum()
+                                                  / pass_b) * real
+                        else:
+                            real = active.any().astype(jnp.float32)
+                            outs["adv_pm_mse"] = jnp.mean(sq) * real
+                    return new_state, a, outs
 
-            def real_step(carry, t):
-                node, view, ended, state = carry
-                active = ~ended
-                sobs = device_obs(env_arrays, node, view, goal, start,
-                                  total_dist, k)
-                sobs["is_first"] = jnp.broadcast_to(t == 0, (batch,))
-                new_state, a, outs = policy_losses(sobs, state, t, active)
-                new_node, new_view, stop = device_transition(
-                    env_arrays, node, view, a, ended)
-                # reward shaping (rollout loop / agent_dg.py:900-926)
-                dist_new = dist_t[new_node, goal_local]
-                delta = -(dist_new - sobs["distance"])
-                move_r = jnp.where(delta > 0, 1.0,
-                                   jnp.where(delta < 0, -1.0, 0.0))
-                stop_r = jnp.where(dist_new < 3.0, 2.0, -2.0)
-                stop_now = stop & active
-                outs["reward"] = jnp.where(
-                    ended, 0.0, jnp.where(stop_now, stop_r, move_r)
-                ).astype(jnp.float32)
-                outs["rl_mask"] = active.astype(jnp.float32)
-                outs["env_steps"] = active.sum().astype(jnp.int32)
-                return (new_node, new_view, ended | stop, new_state), outs
+                def zero_outs():
+                    z = jnp.zeros((width,), jnp.float32)
+                    outs = {"ce": z, "logp_a": z, "ent": z, "value": z,
+                            "reward": z, "rl_mask": z,
+                            "env_steps": jnp.asarray(0, jnp.int32)}
+                    if cfg.pred_back:
+                        outs["back_ce"] = z
+                    if cfg.pred_pm:
+                        outs["pm_mse"] = jnp.asarray(0.0, jnp.float32)
+                    if cfg.agent_type == "advanced":
+                        outs["adv_pm_mse"] = jnp.asarray(0.0,
+                                                         jnp.float32)
+                    return outs
 
-            # remat long rollouts (bounded residual memory) unless the
-            # config trades HBM for the backward recompute FLOPs
-            if cfg.remat == "always" or (cfg.remat == "auto" and T > 16):
-                real_step = jax.checkpoint(real_step)
-            elif cfg.remat == "dots":
-                # keep MXU outputs, recompute elementwise chains in the
-                # backward: trades cheap VPU FLOPs for the scan's saved
-                # -residual HBM traffic
-                real_step = jax.checkpoint(
-                    real_step,
-                    policy=jax.checkpoint_policies.checkpoint_dots)
+                def real_step(carry, t):
+                    node, view, ended, state = carry
+                    active = ~ended
+                    sobs = device_obs(env_arrays, node, view, goal_s,
+                                      start_s, total_dist_s, k)
+                    sobs["is_first"] = jnp.broadcast_to(t == 0,
+                                                        (width,))
+                    new_state, a, outs = policy_losses(sobs, state, t,
+                                                       active)
+                    new_node, new_view, stop = device_transition(
+                        env_arrays, node, view, a, ended)
+                    # reward shaping (rollout / agent_dg.py:900-926)
+                    dist_new = dist_t[new_node, goal_local_s]
+                    delta = -(dist_new - sobs["distance"])
+                    move_r = jnp.where(delta > 0, 1.0,
+                                       jnp.where(delta < 0, -1.0, 0.0))
+                    stop_r = jnp.where(dist_new < 3.0, 2.0, -2.0)
+                    stop_now = stop & active
+                    outs["reward"] = jnp.where(
+                        ended, 0.0, jnp.where(stop_now, stop_r, move_r)
+                    ).astype(jnp.float32)
+                    outs["rl_mask"] = active.astype(jnp.float32)
+                    outs["env_steps"] = active.sum().astype(jnp.int32)
+                    return (new_node, new_view, ended | stop,
+                            new_state), outs
 
-            def body(carry, t):
-                ended = carry[2]
-                return jax.lax.cond(ended.all(),
-                                    lambda c, _t: (c, zero_outs()),
-                                    real_step, carry, t)
+                # remat long rollouts (bounded residual memory) unless
+                # the config trades HBM for backward recompute FLOPs
+                if cfg.remat == "always" or (cfg.remat == "auto"
+                                             and T > 16):
+                    real_step = jax.checkpoint(real_step)
+                elif cfg.remat == "dots":
+                    # keep MXU outputs, recompute elementwise chains in
+                    # the backward: trades cheap VPU FLOPs for the
+                    # scan's saved-residual HBM traffic
+                    real_step = jax.checkpoint(
+                        real_step,
+                        policy=jax.checkpoint_policies.checkpoint_dots)
 
+                def body(carry, t):
+                    ended = carry[2]
+                    return jax.lax.cond(ended.all(),
+                                        lambda c, _t: (c, zero_outs()),
+                                        real_step, carry, t)
+
+                return body, policy_losses
+
+            body_full, pl_full = make_segment(lambda x: x)
             ended0 = jnp.zeros((batch,), bool)
+            carry0 = (node0, view0, ended0, state0)
+            segmented = combined and 0 < t1 < T
             # NOTE: unrolling this outer scan measured SLOWER (972 vs
             # ~1100 agent-steps/s at unroll=5) — the early-exit cond
             # carries the win here, not DMA batching
-            (node, view, ended, state), outs = jax.lax.scan(
-                body, (node0, view0, ended0, state0),
-                jnp.arange(T, dtype=jnp.int32))
+            if segmented:
+                sub_tail = lambda x: x[pass_b:]  # noqa: E731
+                body_tail, pl_tail = make_segment(sub_tail)
+                carry_a, outs_a = jax.lax.scan(
+                    body_full, carry0, jnp.arange(t1, dtype=jnp.int32))
+                carry_b, outs_b = jax.lax.scan(
+                    body_tail, jax.tree_util.tree_map(sub_tail,
+                                                      carry_a),
+                    jnp.arange(t1, T, dtype=jnp.int32))
+
+                def cat_time(a, b):
+                    # pad tail outs back to full width (teacher rows
+                    # are ended there: their outs are exactly zero)
+                    if b.ndim >= 2 and b.shape[1] == pass_b:
+                        b = jnp.concatenate(
+                            [jnp.zeros_like(b, shape=(b.shape[0],
+                                                      batch - pass_b)
+                                            + b.shape[2:]), b], axis=1)
+                    return jnp.concatenate([a, b], axis=0)
+
+                outs = jax.tree_util.tree_map(cat_time, outs_a, outs_b)
+                node, view, ended, state = carry_b
+                goal_f, start_f = goal[pass_b:], start[pass_b:]
+                total_dist_f = total_dist[pass_b:]
+                boot_pl = pl_tail
+                boot_width = batch - pass_b
+            else:
+                (node, view, ended, state), outs = jax.lax.scan(
+                    body_full, carry0, jnp.arange(T, dtype=jnp.int32))
+                goal_f, start_f, total_dist_f = goal, start, total_dist
+                boot_pl = pl_full
+                boot_width = batch
 
             if combined:
                 # ml_weight rows carry ml_scalar/pass_batch, so the
@@ -879,15 +956,19 @@ class Seq2SeqAgent:
             total_loss = ml_loss if combined else ml_weight * ml_loss / batch
             logs["ml_loss"] = ml_loss
 
-            # A2C bootstrap at t=T on the final state
-            sobs_f = device_obs(env_arrays, node, view, goal, start,
-                                total_dist, k)
-            sobs_f["is_first"] = jnp.zeros((batch,), bool)
-            _, _, last_outs = policy_losses(sobs_f, state,
-                                            jnp.asarray(T, jnp.int32),
-                                            ~ended)
+            # A2C bootstrap at t=T on the final state (sample-half
+            # width when segmented: teacher rows are ended, g0 = 0)
+            sobs_f = device_obs(env_arrays, node, view, goal_f, start_f,
+                                total_dist_f, k)
+            sobs_f["is_first"] = jnp.zeros((boot_width,), bool)
+            _, _, last_outs = boot_pl(sobs_f, state,
+                                      jnp.asarray(T, jnp.int32),
+                                      ~ended)
             last_value = jax.lax.stop_gradient(last_outs["value"])
             g0 = jnp.where(ended, 0.0, last_value)
+            if segmented:
+                g0 = jnp.concatenate(
+                    [jnp.zeros((batch - boot_width,), g0.dtype), g0])
 
             def rev_step(g, xs):
                 r, v, logp_a, ent, m = xs
@@ -980,11 +1061,15 @@ class Seq2SeqAgent:
     def _device_combined_grad_fn(self, feedback: str, use_noise: bool,
                                  accumulate: bool):
         """Rollout-grad over the slot-weighted combined program (both
-        passes of one optimizer iteration in one 2B-wide scan)."""
-        key = ("devcomb", feedback, use_noise, accumulate)
+        passes of one optimizer iteration in one 2B-wide scan that
+        narrows to B-wide once the teacher half is provably ended).
+        t1 depends on the env's longest path, which changes when the
+        trainer swaps org/aug envs — key the cache on it."""
+        t1 = self._teacher_len()
+        key = ("devcomb", feedback, use_noise, accumulate, t1)
         if key not in self._jit_cache:
             loss_fn = self._make_device_fused_loss_fn(
-                feedback, use_noise, combined=True)
+                feedback, use_noise, combined=True, t1=t1)
 
             if accumulate:
                 @functools.partial(jax.jit, donate_argnums=(3,))
@@ -1197,7 +1282,9 @@ class Seq2SeqAgent:
             try:
                 env_arrays = self._dev_env.arrays()
                 if fb == "combined":  # fused teacher+sample pair
-                    key = ("devcomb", "sample", use_noise, False)
+                    t_len = self._teacher_len()
+                    key = ("devcomb", "sample", use_noise, False,
+                           t_len)
                     fn = self._device_combined_grad_fn(
                         "sample", use_noise, False)
                     args = (self.params, self.tables, env_arrays,
@@ -1219,7 +1306,8 @@ class Seq2SeqAgent:
                     # install the AOT executable so training dispatches
                     # call it directly (no jit-cache recompile)
                     self._jit_cache[key] = load_or_compile(
-                        f"{key[0]}_{fb}", fn, args, extra_key=cfg_key)
+                        f"{key[0]}_{fb}", fn, args,
+                        extra_key=f"{cfg_key}|{key}")
                 else:  # warm by dispatch; gradients are discarded
                     grads, logs = fn(*args)
                     jax.block_until_ready(logs["loss"])

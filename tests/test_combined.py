@@ -79,6 +79,9 @@ def make_agent(world, cfg, connectivity_dir, seed=7):
     {},
     {"pred_pm": True, "pm_type": "att", "pred_back": True},
     {"normalize_loss": "batch"},
+    # max_action > teacher_len: the combined program narrows to the
+    # sample half for steps [t1, T) — must still match the split sum
+    {"max_action": 14},
 ])
 def test_combined_matches_split_pass_sum(world, connectivity_dir, extra):
     """grads(combined 2B program) == grads(teacher pass) + grads(argmax
@@ -101,6 +104,8 @@ def test_combined_matches_split_pass_sum(world, connectivity_dir, extra):
 
     # --- combined: one 2B-wide program -------------------------------
     a2 = make_agent(world, cfg, connectivity_dir)
+    if extra.get("max_action"):  # the segmented-path case must be real
+        assert a2._teacher_len() < cfg.max_action
     args_c = a2._device_combined_args("argmax", 0.2, True)
     g_c, logs_c = a2._device_combined_grad_fn("argmax", True, False)(
         a2.params, a2.tables, a2._dev_env.arrays(), *args_c)
