@@ -898,10 +898,57 @@ class Seq2SeqAgent:
                 body_tail, pl_tail = make_segment(sub_tail)
                 carry_a, outs_a = jax.lax.scan(
                     body_full, carry0, jnp.arange(t1, dtype=jnp.int32))
-                carry_b, outs_b = jax.lax.scan(
-                    body_tail, jax.tree_util.tree_map(sub_tail,
-                                                      carry_a),
-                    jnp.arange(t1, T, dtype=jnp.int32))
+                carry_b0 = jax.tree_util.tree_map(sub_tail, carry_a)
+                ts_tail = jnp.arange(t1, T, dtype=jnp.int32)
+                half = pass_b // 2
+                if T - t1 >= 4 and half >= 2:
+                    # second narrowing, at runtime: most sample rows end
+                    # before the batch max, so when at most half are
+                    # still active at t1, gather them into a half-width
+                    # scan (width-10 steps measured 0.71x width-20,
+                    # BENCH_NOTES.md) and scatter the outs back.  Exact
+                    # for the same reason as the static narrowing.
+                    ended_t1 = carry_b0[2]
+
+                    def packed_tail(carry_b0):
+                        perm = jnp.argsort(ended_t1)[:half]  # active 1st
+
+                        def sub_p(x):
+                            return jnp.take(x[pass_b:], perm, axis=0)
+
+                        body_p, _ = make_segment(sub_p)
+                        carry_p, outs_p = jax.lax.scan(
+                            body_p,
+                            jax.tree_util.tree_map(
+                                lambda x: jnp.take(x, perm, axis=0),
+                                carry_b0),
+                            ts_tail)
+                        carry_f = jax.tree_util.tree_map(
+                            lambda full, p: full.at[perm].set(p),
+                            carry_b0, carry_p)
+
+                        def scat(full_like, p):
+                            if p.ndim >= 2 and p.shape[1] == half:
+                                z = jnp.zeros(
+                                    (p.shape[0], pass_b) + p.shape[2:],
+                                    p.dtype)
+                                return z.at[:, perm].set(p)
+                            return p  # per-step scalars
+
+                        outs_f = jax.tree_util.tree_map(
+                            lambda p: scat(None, p), outs_p)
+                        return carry_f, outs_f
+
+                    def full_tail(carry_b0):
+                        return jax.lax.scan(body_tail, carry_b0,
+                                            ts_tail)
+
+                    carry_b, outs_b = jax.lax.cond(
+                        (~ended_t1).sum() <= half,
+                        packed_tail, full_tail, carry_b0)
+                else:
+                    carry_b, outs_b = jax.lax.scan(body_tail, carry_b0,
+                                                   ts_tail)
 
                 def cat_time(a, b):
                     # pad tail outs back to full width (teacher rows

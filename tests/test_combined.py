@@ -82,6 +82,10 @@ def make_agent(world, cfg, connectivity_dir, seed=7):
     # max_action > teacher_len: the combined program narrows to the
     # sample half for steps [t1, T) — must still match the split sum
     {"max_action": 14},
+    # T - t1 >= 4 and B >= 4: the runtime-compacted half-width tail
+    # (lax.cond + gather) compiles in and must stay exact whichever
+    # branch fires
+    {"max_action": 16, "batch_size": 4},
 ])
 def test_combined_matches_split_pass_sum(world, connectivity_dir, extra):
     """grads(combined 2B program) == grads(teacher pass) + grads(argmax
