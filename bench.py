@@ -117,6 +117,10 @@ def main():
         # (the teacher half rides the 2B-wide sampled scan's weight
         # reads nearly free; BENCH_NOTES.md round-3)
         fuse_passes=os.environ.get("DASA_BENCH_FUSE", "auto"),
+        # hardware RNG for per-step dropout masks: 1667 -> 1908 steps/s
+        # (threefry bits hide inside every fused dropout op;
+        # BENCH_NOTES.md round-3).  DASA_BENCH_PRNG=threefry for A/B.
+        prng_impl=os.environ.get("DASA_BENCH_PRNG", "rbg"),
     )
     if fast:  # plumbing smoke for CPU runs, not a benchmark
         cfg = cfg.replace(d_la_layers=1, d_vl_layers=1, batch_size=4,

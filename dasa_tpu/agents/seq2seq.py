@@ -103,6 +103,15 @@ class Seq2SeqAgent:
                  vocab_size: int = 0, results_path: Optional[str] = None,
                  rng_seed: int = 0, mesh=None):
         self.cfg = cfg
+        impl = {"threefry": "threefry2x32"}.get(cfg.prng_impl,
+                                                cfg.prng_impl)
+        if jax.config.jax_default_prng_impl != impl:
+            # process-global by JAX design; must land before any key in
+            # this agent is created (raw uint32 keys are reinterpreted
+            # under the default impl, so mixing impls corrupts streams).
+            # Set unconditionally so a later threefry agent undoes an
+            # earlier rbg agent's global switch.
+            jax.config.update("jax_default_prng_impl", impl)
         self.env = env
         self.mesh = mesh  # data-parallel jax.sharding.Mesh (or None)
         self.results_path = results_path

@@ -218,6 +218,13 @@ class Config:
     # sampled scan's weight reads nearly free — BENCH_NOTES.md round-3
     # batch-width probe).  never: dispatch the two passes separately.
     fuse_passes: str = "never"     # auto | never
+    # PRNG bit generator for every random draw (dropout masks,
+    # categorical sampling).  threefry: JAX's default, stable across
+    # versions/backends; rbg: hardware RNG, much cheaper per-step
+    # dropout-mask generation on TPU (the per-step threefry masks show
+    # up at ~2-4% of the fused rollout trace).  Changing it changes
+    # the noise stream, not the distribution.
+    prng_impl: str = "threefry"    # threefry | rbg
     seed: int = 10
     views: int = 36                # panorama views (12 headings x 3 elevations)
     max_candidates: int = 16       # fixed candidate padding incl. STOP slot
@@ -294,6 +301,9 @@ class Config:
         if self.fuse_passes not in ("auto", "never"):
             raise ValueError(f"fuse_passes must be auto|never, got "
                              f"{self.fuse_passes!r}")
+        if self.prng_impl not in ("threefry", "rbg", "unsafe_rbg"):
+            raise ValueError(f"prng_impl must be threefry|rbg|"
+                             f"unsafe_rbg, got {self.prng_impl!r}")
         if not self.connectivity_dir:
             object.__setattr__(self, "connectivity_dir",
                                _default_connectivity_dir())

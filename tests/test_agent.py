@@ -540,3 +540,24 @@ def test_dyrelu_decoder_agent(world, connectivity_dir):
     agent.accumulate_gradient("sample")
     agent.optim_step()
     assert np.isfinite(agent.losses).all()
+
+
+def test_rbg_prng_trains_and_restores_default(world, connectivity_dir):
+    """prng_impl='rbg' (hardware RNG for dropout masks — the TPU bench
+    default, 1667 -> 1908 steps/s) trains with finite losses; creating
+    a threefry agent afterwards restores the process-global default."""
+    import jax
+
+    cfg = tiny_cfg(prng_impl="rbg")
+    data_dir, feature_db, depth_db, tok = world
+    env, _ = make_env(world, cfg, "train", connectivity_dir)
+    agent = Seq2SeqAgent(cfg, env, feature_db, vocab_size=len(tok))
+    assert jax.config.jax_default_prng_impl == "rbg"
+    agent.zero_grad()
+    agent.accumulate_gradient("sample")
+    agent.optim_step()
+    assert np.isfinite(agent.losses).all()
+
+    env2, _ = make_env(world, tiny_cfg(), "train", connectivity_dir)
+    Seq2SeqAgent(tiny_cfg(), env2, feature_db, vocab_size=len(tok))
+    assert jax.config.jax_default_prng_impl == "threefry2x32"
