@@ -120,6 +120,7 @@ def main():
             lr=1e-4, use_lr_scheduler=True, ml_weight=0.2,
             connectivity_dir=CONNECTIVITY, compute_dtype="bfloat16",
             remat=os.environ.get("DASA_BENCH_REMAT", "never"),
+            prng_impl=os.environ.get("DASA_BENCH_PRNG", "rbg"),
         )
         if args.fuse:
             cfg = cfg.replace(fuse_passes="auto")
