@@ -121,6 +121,12 @@ def main():
         # (threefry bits hide inside every fused dropout op;
         # BENCH_NOTES.md round-3).  DASA_BENCH_PRNG=threefry for A/B.
         prng_impl=os.environ.get("DASA_BENCH_PRNG", "rbg"),
+        # continuous batching (agents/stream.py): every scan row stays
+        # on a live episode; one optimizer window per iteration.
+        # DASA_BENCH_STREAM=0 for the episodic A/B.
+        rollout_mode=("stream"
+                      if os.environ.get("DASA_BENCH_STREAM", "0") == "1"
+                      else "episodic"),
     )
     if fast:  # plumbing smoke for CPU runs, not a benchmark
         cfg = cfg.replace(d_la_layers=1, d_vl_layers=1, batch_size=4,
@@ -167,7 +173,9 @@ def main():
     # the two rollout-grad programs, compiled concurrently, + tree-add
     # + apply)
     t0 = time.time()
-    if agent.use_device_rollout():
+    if agent.use_stream_rollout():
+        agent.precompile_stream()
+    elif agent.use_device_rollout():
         agent.precompile_device()
     else:
         agent.precompile_replay(cfg.batch_size)
@@ -185,6 +193,7 @@ def main():
     all_iter_steps = []
     total_steps = 0
     total_dt = 0.0
+    consumed_idx0 = len(agent.logs["stream_consumed"])
     for _w in range(n_windows):
         agent.total_env_steps = 0
         agent._env_steps_log = []
@@ -202,8 +211,16 @@ def main():
     steps_per_sec = float(np.mean(window_rates))
     spread_pct = 100.0 * (max(window_rates) - min(window_rates)) \
         / steps_per_sec
-    avg_ep_len = (total_steps
-                  / (n_windows * iters_per_window * 2 * cfg.batch_size))
+    if agent.use_stream_rollout():
+        # episode starts ~= completions at steady state; each timed
+        # iteration is one streamed window
+        n_eps = float(np.sum([np.asarray(c) for c in
+                              agent.logs["stream_consumed"]
+                              [consumed_idx0:]]))
+        avg_ep_len = total_steps / max(n_eps, 1.0)
+    else:
+        avg_ep_len = (total_steps / (n_windows * iters_per_window
+                                     * 2 * cfg.batch_size))
     flops_step = analytic_flops_per_agent_step(cfg, avg_ep_len)
     mfu = steps_per_sec * flops_step / PEAK_FLOPS
 

@@ -47,6 +47,7 @@ from dasa_tpu.models.featurize import (
     assemble_pano,
 )
 from dasa_tpu.models.layers import NEG_INF
+from dasa_tpu.agents.stream import StreamMixin
 from dasa_tpu.train.optim import build_optimizer
 from dasa_tpu.utils.angles import all_point_angle_feature
 
@@ -94,7 +95,7 @@ def _entropy(logp, p):
     return -jnp.sum(jnp.where(p > 0, p * logp, 0.0), axis=-1)
 
 
-class Seq2SeqAgent:
+class Seq2SeqAgent(StreamMixin):
     """Listener agent (plain LSTM path and DASA dg path)."""
 
     def __init__(self, cfg: Config, env: Optional[R2REnv],
@@ -1777,7 +1778,12 @@ class Seq2SeqAgent:
                 self.device_rollout(train_ml=cfg.teacher_weight,
                                     train_rl=False, feedback="teacher")
             elif feedback == "sample":
-                if self.use_combined_rollout() and ml_weight:
+                if self.use_stream_rollout():
+                    # continuous batching: one streamed window replaces
+                    # the accumulate pair (agents/stream.py)
+                    self.device_rollout_stream(ml_weight,
+                                               feedback="sample")
+                elif self.use_combined_rollout() and ml_weight:
                     # both passes as ONE 2B-wide program: the teacher
                     # half rides the sampled scan's weight reads for
                     # free (BENCH_NOTES.md round-3 batch-width probe)
@@ -1827,7 +1833,10 @@ class Seq2SeqAgent:
             if feedback == "teacher":
                 self.accumulate_gradient("teacher", **kwargs)
             elif feedback == "sample":
-                if not kwargs and self.use_device_rollout():
+                if not kwargs and self.use_stream_rollout():
+                    self.device_rollout_stream(self.cfg.ml_weight,
+                                               feedback="sample")
+                elif not kwargs and self.use_device_rollout():
                     if self.cfg.ml_weight != 0:
                         self.device_rollout(train_ml=self.cfg.ml_weight,
                                             train_rl=False,

@@ -1,0 +1,762 @@
+"""Streaming rollouts: continuous batching for the training pass.
+
+The fused episodic programs (seq2seq.py::_make_device_fused_loss_fn)
+scan to the batch's max episode length, so every row that ends early is
+a masked MXU row until the scan (or its packed tail) narrows.  The
+round-3 batch-width probe measured steps as the expensive axis and
+width as nearly free — which means the waste is structural: at the
+headline config a 2B-wide scan step costs the same whether 40 or 12
+rows are still alive.
+
+This module keeps every row alive instead.  One optimizer window =
+`stream_steps` scan steps over 2B persistent slots (teacher-ML half,
+sampled-RL half, mirroring the combined program's layout).  The moment
+a slot's episode ends, the NEXT scan step refills it with a fresh
+episode from an on-device staging pool; episodes still mid-flight when
+the window closes carry their full state (graph position, decoder
+LSTM state, per-episode env-drop mask, step budget) into the next
+window and continue there.
+
+Correctness contract (tests/test_stream.py):
+- Trajectories are unchanged: a streamed episode takes exactly the
+  actions its standalone rollout takes (slot refills re-initialize the
+  decoder through the same ``is_first`` blend every episode start uses,
+  models/policy.py:432-437, so an episode cannot see its predecessor).
+- Returns are unchanged: A2C discounted returns never cross episode
+  boundaries (`stream_returns` cuts at terminals), and an episode
+  crossing a window edge bootstraps with the critic's value — the SAME
+  mechanism the reference applies at its maxAction truncation
+  (agent_dg.py:962-981), applied at the window edge.  Episodes hitting
+  maxAction inside a window get the reference truncation exactly: one
+  bookkeeping step records the critic bootstrap, then the slot refills.
+- Data is exact: every staged episode is consumed exactly once.  The
+  host streams fresh episodes through fixed-shape chunks; the program
+  reports (admitted, consumed, leftover) counts per window, and the
+  host re-queues any chunk tail the device-side pool had no room for.
+  Flow control runs on lagged counts (the host reads window k's counts
+  while k+2 executes), so the training loop never blocks on a fetch.
+
+What changes vs the episodic regime — documented, not hidden: the
+optimizer-step granularity (one update per window instead of per 2B
+episodes), the teacher:sample episode ratio (slots refill at a rate
+inversely proportional to each half's mean episode length), and the
+noise stream (per-window dropout salts).  `rollout_mode` is a
+throughput knob, like `fuse_passes` — not a bitwise-reproducibility
+one.
+
+Reference hot loop being replaced: agent_dg.py:633-1033 (rollout) +
+train.py:233-243 (the per-minibatch update structure).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Raw per-episode fields staged through the pool (host -> device) and
+# carried across windows.  Shapes per row: instr (L,) i32, valid (L,)
+# bool, seq_len () i32, the rest () i32 global node/view ids.  uid is a
+# host-assigned episode id (-1 for the template placeholder) carried so
+# recorded slot-time trajectories map back to their episodes
+# (tests/test_stream.py's consumed-exactly-once and trajectory checks).
+RAW_FIELDS = ("instr", "valid", "seq_len", "node0", "view0", "goal",
+              "start", "uid")
+
+
+def stream_returns(rewards, values, done, trunc, real, g_init,
+                   gamma: float):
+    """Per-step A2C returns over a streamed (S, W) slot-time grid.
+
+    Episodes are laid out back-to-back in each slot column; the reverse
+    recurrence cuts at boundaries instead of assuming one episode per
+    column (the episodic programs' rev_step, seq2seq.py:1029-1050):
+
+    - ``done[t]``  — terminal STOP at t: G_t = r_t (no successor).
+    - ``trunc[t]`` — bookkeeping row holding the critic bootstrap for a
+      maxAction-truncated episode: the step before it sees
+      G = r + gamma * v_t, exactly the reference's truncation bootstrap
+      (agent_dg.py:962-981).
+    - ``real[t]``  — rows that advanced an episode; dead/starved rows
+      pass the accumulator through untouched.
+    - ``g_init``   — window-edge bootstrap: the critic's value for
+      slots still mid-flight at the last step, 0 elsewhere.
+
+    Pure function of recorded arrays so the cut logic is unit-testable
+    against a per-episode numpy oracle (tests/test_stream.py).
+    """
+    def rev(g, xs):
+        r, v, d, tr, re = xs
+        g_next = jnp.where(d, 0.0, g)
+        G = r + gamma * g_next
+        g2 = jnp.where(tr, v, jnp.where(re, G, g))
+        return g2, G
+
+    _, G = jax.lax.scan(rev, g_init, (rewards, values, done, trunc,
+                                      real), reverse=True)
+    return G
+
+
+class StreamGeom:
+    """Static geometry of the stream program (compile-time)."""
+
+    def __init__(self, batch: int, steps: int, pool: int):
+        self.B = batch          # slots per half
+        self.W = 2 * batch      # teacher half [0,B), sample half [B,2B)
+        self.S = steps          # scan steps per optimizer window
+        self.E = pool           # pool region capacity per half
+
+    def key(self) -> Tuple[int, int, int]:
+        return (self.B, self.S, self.E)
+
+
+class _StreamHost:
+    """Per-env host state: the device carry, the episode FIFO, and the
+    lagged flow-control ledger."""
+
+    def __init__(self, geom: StreamGeom, carry, template: dict,
+                 consumed_est: float):
+        self.geom = geom
+        self.carry = carry
+        self.template = template
+        self.fifo: deque = deque()
+        # (sent_items_t, sent_items_s, flow-log device handles)
+        self.inflight: deque = deque()
+        self.leftover_settled = np.zeros(2, np.int64)
+        self.consumed_est = np.full(2, consumed_est)
+        self.next_uid = 0
+        self.staged: Dict[int, dict] = {}  # uid -> raw episode row
+        self.records: List[dict] = []      # per-window record fetches
+
+    def inventory_est(self) -> np.ndarray:
+        inv = self.leftover_settled.astype(np.float64)
+        for sent_t, sent_s, _flow in self.inflight:
+            inv += (np.array([len(sent_t), len(sent_s)], np.float64)
+                    - self.consumed_est)
+        return np.maximum(inv, 0.0)
+
+
+class StreamMixin:
+    """Streaming-rollout device programs + host staging, mixed into
+    Seq2SeqAgent.  Uses only the agent's public machinery: the policy's
+    per-step methods, the device env tables, the jit/AOT caches."""
+
+    # ---------------------------------------------------------------
+    # gating and geometry
+    # ---------------------------------------------------------------
+    def use_stream_rollout(self) -> bool:
+        """Streaming needs the device rollout path, both halves of the
+        accumulate pair (an ML weight), and a single device (the carry
+        is not mesh-sharded yet — episodic data-parallel covers that
+        case)."""
+        return (self.cfg.rollout_mode == "stream"
+                and self.mesh is None
+                and self.use_device_rollout())
+
+    def _stream_geom(self) -> StreamGeom:
+        cfg = self.cfg
+        S = cfg.stream_steps or cfg.max_action
+        if cfg.stream_pool:
+            E = cfg.stream_pool
+        else:
+            E = int(np.ceil(1.3 * cfg.batch_size * S
+                            / max(self._stream_mean_len(), 2.0)))
+        return StreamGeom(cfg.batch_size, S, max(E, 2))
+
+    def _stream_mean_len(self) -> float:
+        """Steady-state episode length estimate: the dataset mean path
+        node count (hops + STOP).  Sampled episodes run longer on a
+        cold policy (consumption is then LOWER — the pool just carries
+        more inventory) and converge toward teacher lengths."""
+        if self.env is None or not getattr(self.env, "data", None):
+            return float(self.cfg.max_action)
+        return float(np.mean([len(it["path"]) for it in self.env.data]))
+
+    # ---------------------------------------------------------------
+    # the window program
+    # ---------------------------------------------------------------
+    def _make_stream_loss_fn(self, feedback: str, use_noise: bool,
+                             geom: StreamGeom, record: bool = False):
+        """One optimizer window: admit fresh episodes into the pool,
+        encode every episode text the window can touch, run S scan
+        steps with per-step slot refill, bootstrap the edge, and
+        assemble the episodic losses over the slot-time grid.
+
+        Returns ``loss_fn(inner_params, tables, env_arrays, carry,
+        fresh, fresh_n, base_rng, ml_w, rl_w, ent_w) ->
+        (total_loss, (logs, new_carry))``.
+        """
+        from dasa_tpu.agents.seq2seq import (
+            INIT_SALT,
+            _entropy,
+            make_step_inputs,
+        )
+        from dasa_tpu.env.device_env import device_obs, device_transition
+        from dasa_tpu.models import DasaPolicy, DecoderState
+        from dasa_tpu.models.layers import NEG_INF
+
+        cfg = self.cfg
+        policy = self.policy
+        B, W, S, E = geom.B, geom.W, geom.S, geom.E
+        T = cfg.max_action
+        k = cfg.max_candidates
+        keep_p = 1.0 - cfg.featdropout
+        is_sample = jnp.arange(W) >= B          # static slot halves
+        ml_rows = ~is_sample
+
+        def loss_fn(inner_params, tables, env_arrays, carry, fresh,
+                    fresh_n, base_rng, ml_w, rl_w, ent_w):
+            ng = jax.lax.stop_gradient
+            inner_params = self._cast_params_once(inner_params)
+            params = {"params": inner_params}
+            dist_t, node_base_t = env_arrays[6], env_arrays[8]
+
+            # ---- pool regions: carried leftovers first, then as much
+            # of the fresh chunk as fits (the admit clamp; the host
+            # re-queues the rest — nothing is dropped)
+            pool_n = carry["pool_n"]                       # (2,) i32
+            adm = jnp.minimum(fresh_n, E - pool_n)
+            avail = pool_n + adm                           # (2,) i32
+
+            def build_region(h):
+                idx = jnp.arange(E)
+                from_carry = idx < pool_n[h]
+                fi = jnp.clip(idx - pool_n[h], 0, E - 1)
+                out = {}
+                for f in RAW_FIELDS:
+                    c = carry["pool"][f][h]
+                    fr = fresh[f][h][fi]
+                    m = from_carry.reshape((E,) + (1,) * (c.ndim - 1))
+                    out[f] = jnp.where(m, c, fr)
+                return out
+
+            region = [build_region(0), build_region(1)]
+            # virtual table: [carried slot episodes W][teacher E][sample E]
+            table = {f: jnp.concatenate(
+                [carry["slot_raw"][f], region[0][f], region[1][f]], 0)
+                for f in RAW_FIELDS}
+            goal_local_tab = table["goal"] - node_base_t[table["goal"]]
+            total_dist_tab = dist_t[table["node0"], goal_local_tab]
+            pm_target_tab = 1.0 - total_dist_tab / (total_dist_tab
+                                                    + 1e-10)
+
+            # ---- one batched text encode over everything this window
+            # can touch; gradients flow to the encoder from every step
+            # that runs inside this window (truncated BPTT at edges)
+            cached_tab = policy.apply(
+                params, table["instr"], table["valid"], table["seq_len"],
+                deterministic=False,
+                rngs={"dropout": jax.random.fold_in(base_rng, INIT_SALT)},
+                method=DasaPolicy.encode_text)
+
+            def percept_apply(inner, cached_e, valid_e, seqlen_e, inputs,
+                              noise_e, drop_rng):
+                return policy.apply(
+                    {"params": inner}, cached_e, valid_e, seqlen_e,
+                    inputs, deterministic=False, is_test=False,
+                    env_noise=noise_e if use_noise else None,
+                    rngs={"dropout": drop_rng},
+                    lstm_pallas=self._lstm_pallas,
+                    method=DasaPolicy.percept_step)
+
+            if cfg.remat == "percept":
+                percept_apply = jax.checkpoint(percept_apply)
+
+            def forward(slot_ep, node, view, state, is_first, noise, t):
+                """Per-step policy forward for the slots' CURRENT
+                episodes (rng salt structure mirrors the episodic
+                programs: 0 percept dropout, 1 decode dropout)."""
+                step_rng = jax.random.fold_in(base_rng, t)
+                goal_e = table["goal"][slot_ep]
+                start_e = table["start"][slot_ep]
+                td_e = total_dist_tab[slot_ep]
+                valid_e = table["valid"][slot_ep]
+                seqlen_e = table["seq_len"][slot_ep]
+                cached_e = jax.tree_util.tree_map(
+                    lambda x: x[slot_ep], cached_tab)
+                sobs = device_obs(env_arrays, node, view, goal_e,
+                                  start_e, td_e, k)
+                sobs["is_first"] = is_first
+                inputs = make_step_inputs(cfg, tables, sobs)
+                percept = percept_apply(
+                    inner_params, cached_e, valid_e, seqlen_e, inputs,
+                    noise[:, None, :], jax.random.fold_in(step_rng, 0))
+                new_state, logit, value, aux = policy.apply(
+                    params, percept, valid_e, state, is_first,
+                    deterministic=False, already_dropfeat=use_noise,
+                    rngs={"dropout": jax.random.fold_in(step_rng, 1)},
+                    method=DasaPolicy.decode_from_percept)
+                masked = jnp.where(sobs["logit_mask"], NEG_INF,
+                                   logit.astype(jnp.float32))
+                return sobs, new_state, masked, value, aux, step_rng
+
+            def real_step(sc, t):
+                (slot_ep, alive, age, node, view, state, noise,
+                 cur) = sc
+                step_rng = jax.random.fold_in(base_rng, t)
+
+                # ---- refill dead slots from the pool (per half)
+                need = ~alive
+                take_h, newix_h, took_n = [], [], []
+                for h, rows in ((0, ml_rows), (1, is_sample)):
+                    nh = need & rows
+                    rank = jnp.cumsum(nh.astype(jnp.int32)) \
+                        - nh.astype(jnp.int32)
+                    can = cur[h] + rank < avail[h]
+                    take_h.append(nh & can)
+                    newix_h.append(jnp.clip(W + h * E + cur[h] + rank,
+                                            W + h * E,
+                                            W + (h + 1) * E - 1))
+                    took_n.append((nh & can).sum().astype(jnp.int32))
+                take = take_h[0] | take_h[1]
+                slot_ep = jnp.where(
+                    take, jnp.where(is_sample, newix_h[1], newix_h[0]),
+                    slot_ep)
+                cur = cur + jnp.stack(took_n)
+                starved = (need & ~take).sum().astype(jnp.int32)
+                node = jnp.where(take, table["node0"][slot_ep], node)
+                view = jnp.where(take, table["view0"][slot_ep], view)
+                age = jnp.where(take, 0, age)
+                alive = alive | take
+                if use_noise:
+                    # fresh per-EPISODE env-drop mask on refill (the
+                    # episodic per-pass mask, agent_dg.py:731-736, made
+                    # per-slot so carried episodes keep theirs)
+                    keep = jax.random.bernoulli(
+                        jax.random.fold_in(step_rng, 3), keep_p,
+                        noise.shape)
+                    fresh_rows = keep.astype(noise.dtype) / keep_p
+                    noise = jnp.where(take[:, None], fresh_rows, noise)
+
+                # maxAction truncation: one bookkeeping row records the
+                # critic bootstrap, then the slot dies and refills
+                trunc = alive & (age >= T)
+                real = alive & ~trunc
+
+                sobs, new_state, masked, value, aux, _ = forward(
+                    slot_ep, node, view, state, take, noise, t)
+                logp = jax.nn.log_softmax(masked, axis=-1)
+                p = jnp.exp(logp)
+                if feedback == "sample":
+                    a_pol = jax.random.categorical(
+                        jax.random.fold_in(step_rng, 2), masked, axis=-1)
+                else:  # argmax (tests/eval-style streams)
+                    a_pol = jnp.argmax(masked, axis=-1)
+                a = jnp.where(is_sample, a_pol, sobs["teacher"])
+                a = ng(a).astype(jnp.int32)
+                a_rec = jnp.minimum(a, sobs["cand_n"])
+                ce = -jnp.take_along_axis(
+                    logp, sobs["teacher"][:, None], axis=1)[:, 0]
+                ce = jnp.where(real, ce, 0.0)
+                logp_a = jnp.take_along_axis(
+                    logp, a_rec[:, None], axis=1)[:, 0]
+
+                # ---- env transition + reward shaping for real rows
+                # (agent_dg.py:900-926; trunc/dead rows hold position)
+                new_node, new_view, stop = device_transition(
+                    env_arrays, node, view, a, ~real)
+                goal_local_e = goal_local_tab[slot_ep]
+                dist_new = dist_t[new_node, goal_local_e]
+                delta = -(dist_new - sobs["distance"])
+                move_r = jnp.where(delta > 0, 1.0,
+                                   jnp.where(delta < 0, -1.0, 0.0))
+                stop_r = jnp.where(dist_new < 3.0, 2.0, -2.0)
+                done = stop & real
+                reward = jnp.where(
+                    real, jnp.where(done, stop_r, move_r), 0.0
+                ).astype(jnp.float32)
+
+                outs = {
+                    "ce": ce, "logp_a": logp_a,
+                    "ent": _entropy(logp, p),
+                    "value": value.astype(jnp.float32),
+                    "reward": reward, "done": done, "trunc": trunc,
+                    "real": real,
+                    "rl_mask": (real & is_sample).astype(jnp.float32),
+                    "ml_mask": (real & ml_rows).astype(jnp.float32),
+                    "env_steps": real.sum().astype(jnp.int32),
+                    "refills": jnp.stack(took_n),
+                    "starved": starved,
+                }
+                if cfg.pred_back:
+                    back = jnp.where(
+                        sobs["logit_mask"], NEG_INF,
+                        aux["back_logit"].astype(jnp.float32))
+                    blogp = jax.nn.log_softmax(back, axis=-1)
+                    bce = -jnp.take_along_axis(
+                        blogp, sobs["back_teacher"][:, None],
+                        axis=1)[:, 0]
+                    outs["back_ce"] = jnp.where(real, bce, 0.0)
+                if cfg.pred_pm:
+                    pm = aux["pm_score"].astype(jnp.float32)
+                    outs["pm_sq"] = (pm - pm_target_tab[slot_ep]) ** 2
+                if cfg.agent_type == "advanced":
+                    pp = aux["pred_progress"].astype(jnp.float32)
+                    outs["adv_sq"] = (pp - pm_target_tab[slot_ep]) ** 2
+                if record:
+                    outs["rec_action"] = a_rec
+                    outs["rec_node"] = node
+                    outs["rec_uid"] = table["uid"][slot_ep]
+                    outs["rec_take"] = take
+
+                alive = real & ~stop
+                age = jnp.where(real, age + 1, age)
+                return (slot_ep, alive, age, new_node, new_view,
+                        new_state, noise, cur), outs
+
+            step = real_step
+            if cfg.remat == "always" or (cfg.remat == "auto" and S > 16):
+                step = jax.checkpoint(real_step)
+            elif cfg.remat == "dots":
+                step = jax.checkpoint(
+                    real_step,
+                    policy=jax.checkpoint_policies.checkpoint_dots)
+
+            sc0 = (jnp.arange(W, dtype=jnp.int32), carry["alive"],
+                   carry["age"], carry["node"], carry["view"],
+                   DecoderState(carry["h"], carry["c"], carry["h1"]),
+                   carry["noise"], jnp.zeros((2,), jnp.int32))
+            (slot_ep, alive, age, node, view, state, noise, cur), outs \
+                = jax.lax.scan(step, sc0,
+                               jnp.arange(S, dtype=jnp.int32))
+
+            # ---- window-edge bootstrap: critic value for slots still
+            # mid-flight (the reference's maxAction bootstrap applied
+            # at the window boundary; the episode itself continues in
+            # the next window — only the return is cut here)
+            _, _, _, v_edge, _, _ = forward(
+                slot_ep, node, view, state,
+                jnp.zeros((W,), bool), noise, jnp.asarray(S, jnp.int32))
+            g_init = jnp.where(alive, ng(v_edge.astype(jnp.float32)),
+                               0.0)
+            # slots that exhausted maxAction exactly at the edge are
+            # finished episodes (their bootstrap is g_init); kill them
+            # so the next window refills without a bookkeeping step
+            alive = alive & (age < T)
+
+            # ---- losses over the slot-time grid
+            n_eps = jnp.stack([
+                (carry["alive"] & ml_rows).sum(),
+                (carry["alive"] & is_sample).sum()]).astype(jnp.int32) \
+                + outs["refills"].sum(0)
+            n_ml = jnp.maximum(n_eps[0].astype(jnp.float32), 1.0)
+
+            mlm = outs["ml_mask"]
+            forth_loss = (outs["ce"] * mlm).sum()
+            ml_loss = forth_loss
+            if cfg.pred_back:
+                ml_loss = ml_loss + cfg.back_weight \
+                    * (outs["back_ce"] * mlm).sum()
+            logs = {"forth_loss": forth_loss,
+                    "entropy": (outs["ent"] * outs["rl_mask"]).sum(),
+                    "env_steps": outs["env_steps"].sum()}
+            if cfg.pred_pm:
+                # per-episode normalization (the episodic program uses
+                # a per-step batch mean; under streaming the episode is
+                # the stable unit — documented regime difference)
+                pm_total = cfg.pm_weight * (outs["pm_sq"] * mlm).sum()
+                ml_loss = ml_loss + pm_total
+                logs["pm_loss"] = pm_total / n_ml
+            if cfg.agent_type == "advanced":
+                adv = (outs["adv_sq"] * mlm).sum()
+                ml_loss = ml_loss + 10.0 * adv
+                logs["pm_loss"] = adv / n_ml
+            total_loss = ml_w * ml_loss / n_ml
+            logs["ml_loss"] = ml_loss / n_ml
+
+            G = stream_returns(outs["reward"], outs["value"],
+                               outs["done"], outs["trunc"],
+                               outs["real"], g_init, cfg.gamma)
+            adv_t = ng(G - outs["value"])
+            rlm = outs["rl_mask"]
+            pg = (-outs["logp_a"] * adv_t * rlm).sum()
+            critic = (0.5 * ((G - outs["value"]) ** 2) * rlm).sum()
+            ent_term = (-ent_w * outs["ent"] * rlm).sum()
+            rl_loss = pg + critic + ent_term
+            total = rlm.sum()
+            if cfg.normalize_loss == "total":
+                rl_loss = rl_loss / jnp.maximum(total, 1.0)
+            elif cfg.normalize_loss == "batch":
+                rl_loss = rl_loss / jnp.maximum(
+                    n_eps[1].astype(jnp.float32), 1.0)
+            total_loss = total_loss + rl_w * rl_loss
+            logs["rl_loss"] = rl_w * rl_loss
+            logs["critic_loss"] = rl_w * critic
+            logs["total"] = total
+            logs["loss"] = total_loss
+            # flow-control counters (host reads these LAGGED)
+            logs["admitted"] = adm
+            logs["consumed"] = cur
+            logs["leftover"] = avail - cur
+            logs["starved"] = outs["starved"].sum()
+            logs["n_eps"] = n_eps
+            if record:
+                for key2 in ("rec_action", "rec_node", "rec_uid",
+                             "rec_take"):
+                    logs[key2] = outs[key2]
+                logs["rec_real"] = outs["real"]
+                logs["rec_done"] = outs["done"]
+                logs["rec_trunc"] = outs["trunc"]
+
+            # ---- next-window carry (all state device-resident)
+            def leftover_rows(h):
+                idx = jnp.clip(cur[h] + jnp.arange(E), 0, E - 1)
+                return {f: region[h][f][idx] for f in RAW_FIELDS}
+
+            lo = [leftover_rows(0), leftover_rows(1)]
+            new_carry = {
+                "slot_raw": {f: table[f][slot_ep] for f in RAW_FIELDS},
+                "alive": alive, "age": age, "node": node, "view": view,
+                "h": state.h, "c": state.c, "h1": state.h1,
+                "noise": noise,
+                "pool": {f: jnp.stack([lo[0][f], lo[1][f]])
+                         for f in RAW_FIELDS},
+                "pool_n": avail - cur,
+            }
+            new_carry = jax.tree_util.tree_map(ng, new_carry)
+            return total_loss, (logs, new_carry)
+
+        return loss_fn
+
+    def _stream_grad_fn(self, feedback: str, use_noise: bool,
+                        accumulate: bool, geom: StreamGeom,
+                        record: bool = False):
+        key = ("devstream", feedback, use_noise, accumulate, geom.key(),
+               record)
+        if key not in self._jit_cache:
+            import functools
+
+            loss_fn = self._make_stream_loss_fn(feedback, use_noise,
+                                                geom, record=record)
+
+            if accumulate:
+                @functools.partial(jax.jit, donate_argnums=(3, 4))
+                def run(params, tables, env_arrays, grads_in, carry,
+                        *args):
+                    (_, (logs, new_carry)), grads = jax.value_and_grad(
+                        loss_fn, has_aux=True)(
+                        params["params"], tables, env_arrays, carry,
+                        *args)
+                    grads = jax.tree_util.tree_map(jnp.add, grads,
+                                                   grads_in)
+                    return grads, logs, new_carry
+            else:
+                @functools.partial(jax.jit, donate_argnums=(3,))
+                def run(params, tables, env_arrays, carry, *args):
+                    (_, (logs, new_carry)), grads = jax.value_and_grad(
+                        loss_fn, has_aux=True)(
+                        params["params"], tables, env_arrays, carry,
+                        *args)
+                    return grads, logs, new_carry
+
+            self._jit_cache[key] = run
+        return self._jit_cache[key]
+
+    # ---------------------------------------------------------------
+    # host staging
+    # ---------------------------------------------------------------
+    def _stream_template_row(self) -> dict:
+        """A safe placeholder episode: one valid token (an all-padding
+        mask would NaN the text attention and the NaN leaks through the
+        loss masking's where-gradients), node 0 with itself as goal."""
+        L = self.cfg.max_input
+        valid = np.zeros(L, bool)
+        valid[0] = True
+        return {"instr": np.zeros(L, np.int32), "valid": valid,
+                "seq_len": np.int32(1), "node0": np.int32(0),
+                "view0": np.int32(12), "goal": np.int32(0),
+                "start": np.int32(0), "uid": np.int32(-1)}
+
+    def _stream_init_carry(self, geom: StreamGeom):
+        from dasa_tpu.models.policy import decoder_state_width
+
+        cfg = self.cfg
+        W, E = geom.W, geom.E
+        tpl = self._stream_template_row()
+        dec_h = decoder_state_width(cfg)
+
+        def rows(n):
+            return {f: jnp.asarray(np.broadcast_to(
+                tpl[f], (n,) + np.shape(tpl[f])).copy())
+                for f in RAW_FIELDS}
+
+        return {
+            "slot_raw": rows(W),
+            "alive": jnp.zeros((W,), bool),
+            "age": jnp.zeros((W,), jnp.int32),
+            "node": jnp.zeros((W,), jnp.int32),
+            "view": jnp.full((W,), 12, jnp.int32),
+            "h": jnp.zeros((W, dec_h), self.dtype),
+            "c": jnp.zeros((W, dec_h), self.dtype),
+            "h1": jnp.zeros((W, dec_h), self.dtype),
+            "noise": jnp.ones((W, cfg.feature_size), self.dtype),
+            "pool": {f: jnp.stack([rows(E)[f], rows(E)[f]])
+                     for f in RAW_FIELDS},
+            "pool_n": jnp.zeros((2,), jnp.int32),
+        }
+
+    def _stream_host(self) -> _StreamHost:
+        """Per-env stream state (the trainer swaps org/aug envs; each
+        keeps its own carry, FIFO, and flow ledger)."""
+        cache = getattr(self, "_stream_cache", None)
+        if cache is None:
+            cache = self._stream_cache = {}
+        key = id(self.env)
+        if key not in cache:
+            self._device_env_tables()  # ensure tables for this env
+            geom = self._stream_geom()
+            cache[key] = (self.env, _StreamHost(
+                geom, self._stream_init_carry(geom),
+                self._stream_template_row(),
+                consumed_est=geom.E / 1.3))
+        return cache[key][1]
+
+    def _stream_refill_fifo(self, st: _StreamHost, need: int) -> None:
+        from dasa_tpu.env.device_env import episode_inputs
+
+        env = self.env
+        while len(st.fifo) < need:
+            env.reset()
+            ep = episode_inputs(env, self._dev_env)
+            static = env._static
+            for i in range(len(env.batch)):
+                st.fifo.append({
+                    "instr": static["instr"][i].astype(np.int32),
+                    "valid": ~static["pad_mask"][i],
+                    "seq_len": np.int32(static["seq_len"][i]),
+                    "node0": np.int32(ep["node0"][i]),
+                    "view0": np.int32(ep["view0"][i]),
+                    "goal": np.int32(ep["goal"][i]),
+                    "start": np.int32(ep["start"][i]),
+                    "uid": np.int32(st.next_uid),
+                    "instr_id": env.batch[i].get("instr_id"),
+                })
+                st.staged[st.next_uid] = st.fifo[-1]
+                st.next_uid += 1
+
+    def _settle_stream_window(self, st: _StreamHost) -> None:
+        """Read one lagged window's flow counters and reconcile: chunk
+        tails the pool had no room for go back to the FIFO front (the
+        device never saw them), and the exact leftover/consumed counts
+        re-anchor the inventory estimate."""
+        sent_t, sent_s, flow = st.inflight.popleft()
+        adm = np.asarray(flow["admitted"])
+        consumed = np.asarray(flow["consumed"])
+        for h, items in ((1, sent_s), (0, sent_t)):
+            for it in reversed(items[int(adm[h]):]):
+                st.fifo.appendleft(it)
+        st.leftover_settled = np.asarray(flow["leftover"]).astype(
+            np.int64)
+        st.consumed_est = np.maximum(consumed.astype(np.float64), 1.0)
+
+    def _stage_stream_fresh(self, st: _StreamHost):
+        """Assemble this window's fixed-shape fresh chunks, targeting a
+        full pool under the lagged inventory estimate."""
+        E = st.geom.E
+        while len(st.inflight) >= 2:  # settle all but the running window
+            self._settle_stream_window(st)
+        inv = st.inventory_est()
+        f_n = np.clip(E - inv, 0, E).astype(np.int32)
+        self._stream_refill_fifo(st, int(f_n.sum()))
+        sent = [[st.fifo.popleft() for _ in range(int(f_n[h]))]
+                for h in (0, 1)]
+
+        fresh = {}
+        for f in RAW_FIELDS:
+            shape = (2, E) + np.shape(st.template[f])
+            arr = np.broadcast_to(st.template[f], shape).copy()
+            for h in (0, 1):
+                for i, it in enumerate(sent[h]):
+                    arr[h, i] = it[f]
+            fresh[f] = jnp.asarray(arr)
+        return fresh, jnp.asarray(f_n), sent
+
+    # ---------------------------------------------------------------
+    # training entry
+    # ---------------------------------------------------------------
+    def device_rollout_stream(self, train_ml: Optional[float],
+                              feedback: str = "sample",
+                              record: bool = False) -> None:
+        """One streamed optimizer window (the stream-mode analog of one
+        accumulate_gradient('sample') pair): a single fused
+        act+grad+refill dispatch; fetches nothing (flow counters are
+        read lagged by `_stage_stream_fresh`).  record=True additionally
+        returns the slot-time trajectory grid into ``st.records``
+        (separate compiled variant — tests/trajectory extraction)."""
+        cfg = self.cfg
+        use_noise = cfg.consistent_drop
+        st = self._stream_host()
+        fresh, f_n, sent = self._stage_stream_fresh(st)
+        base_rng = jax.random.fold_in(self._base_rng,
+                                      self._rollout_counter)
+        self._rollout_counter += 1
+        ml_w = jnp.asarray(float(train_ml or 0.0), jnp.float32)
+        rl_w = jnp.asarray(1.0, jnp.float32)
+        ent_w = jnp.asarray(0.01 if feedback == "sample" else 0.0,
+                            jnp.float32)
+        fn = self._stream_grad_fn(feedback, use_noise,
+                                  self._grad_accum is not None,
+                                  st.geom, record=record)
+        if self._grad_accum is None:
+            grads, logs, st.carry = fn(
+                self.params, self.tables, self._dev_env.arrays(),
+                st.carry, fresh, f_n, base_rng, ml_w, rl_w, ent_w)
+        else:
+            grads, logs, st.carry = fn(
+                self.params, self.tables, self._dev_env.arrays(),
+                self._grad_accum, st.carry, fresh, f_n, base_rng,
+                ml_w, rl_w, ent_w)
+        self._grad_accum = grads
+        st.inflight.append((sent[0], sent[1],
+                            {kk: logs[kk] for kk in
+                             ("admitted", "consumed", "leftover")}))
+        if record:
+            st.records.append({kk: np.asarray(logs[kk]) for kk in
+                               ("rec_action", "rec_node", "rec_uid",
+                                "rec_take", "rec_real", "rec_done",
+                                "rec_trunc")})
+        self._env_steps_log.append(logs["env_steps"])
+        # episodes started this window (device handle, fetched lazily):
+        # starts ~= completions over a run, so steps/starts estimates
+        # the mean episode length without a per-window sync
+        self.logs["stream_consumed"].append(logs["consumed"])
+        for k2 in ("forth_loss", "entropy", "ml_loss", "rl_loss",
+                   "critic_loss", "total", "loss", "pm_loss"):
+            if k2 in logs:
+                self.logs[k2].append(logs[k2])
+        self.losses.append(logs["loss"])
+
+    def precompile_stream(self) -> None:
+        """Compile (or AOT-load) the stream window program with
+        shape-identical DUMMY chunks — no episode data or rng stream is
+        consumed, unlike the episodic precompile's snapshot dance."""
+        from dasa_tpu.utils.aot_cache import enabled as aot_enabled
+        from dasa_tpu.utils.aot_cache import load_or_compile
+
+        use_noise = self.cfg.consistent_drop
+        st = self._stream_host()
+        E = st.geom.E
+        fresh = {f: jnp.asarray(np.broadcast_to(
+            st.template[f], (2, E) + np.shape(st.template[f])).copy())
+            for f in RAW_FIELDS}
+        f_n = jnp.zeros((2,), jnp.int32)
+        args_tail = (fresh, f_n, self._base_rng,
+                     jnp.asarray(0.2, jnp.float32),
+                     jnp.asarray(1.0, jnp.float32),
+                     jnp.asarray(0.01, jnp.float32))
+        key = ("devstream", "sample", use_noise, False, st.geom.key(),
+               False)
+        fn = self._stream_grad_fn("sample", use_noise, False, st.geom)
+        args = (self.params, self.tables, self._dev_env.arrays(),
+                st.carry, *args_tail)
+        if aot_enabled() and self.mesh is None:
+            self._jit_cache[key] = load_or_compile(
+                "devstream", fn, args,
+                extra_key=f"{self.cfg.to_json()}|{key}")
+        else:
+            # warm by AOT-style lowering (no dispatch: donation would
+            # invalidate the live carry buffers)
+            fn.lower(*args).compile()

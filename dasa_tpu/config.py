@@ -218,6 +218,27 @@ class Config:
     # sampled scan's weight reads nearly free — BENCH_NOTES.md round-3
     # batch-width probe).  never: dispatch the two passes separately.
     fuse_passes: str = "never"     # auto | never
+    # Streaming rollouts (continuous batching): the sampled-RL training
+    # pass keeps every batch slot busy by resetting a slot to the next
+    # episode from a pre-staged on-device pool the moment its episode
+    # ends, instead of masking ended rows until the batch max episode
+    # length.  One optimizer window = stream_steps scan steps; episodes
+    # crossing a window boundary bootstrap the A2C return with the
+    # critic's value (the SAME mechanism the reference applies at its
+    # maxAction truncation, agent_dg.py:962-981, applied at window
+    # edges) and carry their decoder state into the next window
+    # (truncated BPTT at the boundary).  Episode trajectories are
+    # unchanged (tests/test_stream.py proves each streamed episode
+    # matches its standalone argmax rollout); what changes is the
+    # optimizer-step granularity and the noise stream — a throughput
+    # regime, not a bitwise-reproducibility knob.  episodic: the
+    # reference's per-minibatch update structure (the default).
+    rollout_mode: str = "episodic"  # episodic | stream
+    stream_steps: int = 0          # scan steps per optimizer window
+                                   # (0 => max_action)
+    stream_pool: int = 0           # fresh episodes staged per pass half
+                                   # per window (0 => auto-sized from
+                                   # the dataset's mean path length)
     # PRNG bit generator for every random draw (dropout masks,
     # categorical sampling).  threefry: JAX's default, stable across
     # versions/backends; rbg: hardware RNG, much cheaper per-step
@@ -301,6 +322,9 @@ class Config:
         if self.fuse_passes not in ("auto", "never"):
             raise ValueError(f"fuse_passes must be auto|never, got "
                              f"{self.fuse_passes!r}")
+        if self.rollout_mode not in ("episodic", "stream"):
+            raise ValueError(f"rollout_mode must be episodic|stream, "
+                             f"got {self.rollout_mode!r}")
         if self.prng_impl not in ("threefry", "rbg", "unsafe_rbg"):
             raise ValueError(f"prng_impl must be threefry|rbg|"
                              f"unsafe_rbg, got {self.prng_impl!r}")
