@@ -44,6 +44,14 @@ noise stream (per-window dropout salts).  `rollout_mode` is a
 throughput knob, like `fuse_passes` — not a bitwise-reproducibility
 one.
 
+Data parallel: under a mesh the window runs as a shard_map over the
+data axis — each device scans its OWN slot shard against its OWN pool
+shard (device-major slot layout, no cross-device gathers on the hot
+path), loss denominators and grads ride one psum each, and the host
+ledger gains a device axis (every counter is (D, 2)).  Episode
+semantics are shard-local, so the single-device correctness contract
+holds per shard verbatim (tests/test_stream.py mesh case).
+
 Reference hot loop being replaced: agent_dg.py:633-1033 (rollout) +
 train.py:233-243 (the per-minibatch update structure).
 """
@@ -101,21 +109,36 @@ def stream_returns(rewards, values, done, trunc, real, g_init,
 
 
 class StreamGeom:
-    """Static geometry of the stream program (compile-time)."""
+    """Static geometry of the stream program (compile-time).  B/E are
+    PER-DEVICE: under a data mesh each device runs the same window body
+    over its own slot shard and pool shard (shard_map), so the global
+    widths are D x the per-device ones.  Slot layout is device-major:
+    global slot d*2B+j is device d's slot j, teacher for j < B."""
 
-    def __init__(self, batch: int, steps: int, pool: int):
-        self.B = batch          # slots per half
+    def __init__(self, batch: int, steps: int, pool: int,
+                 n_data: int = 1):
+        self.B = batch          # slots per half per device
         self.W = 2 * batch      # teacher half [0,B), sample half [B,2B)
         self.S = steps          # scan steps per optimizer window
-        self.E = pool           # pool region capacity per half
+        self.E = pool           # pool region capacity per half per dev
+        self.D = n_data         # data-mesh size (1 = single device)
 
-    def key(self) -> Tuple[int, int, int]:
-        return (self.B, self.S, self.E)
+    @property
+    def W_glob(self) -> int:
+        return self.D * self.W
+
+    @property
+    def E_glob(self) -> int:
+        return self.D * self.E
+
+    def key(self) -> Tuple[int, int, int, int]:
+        return (self.B, self.S, self.E, self.D)
 
 
 class _StreamHost:
     """Per-env host state: the device carry, the episode FIFO, and the
-    lagged flow-control ledger."""
+    lagged flow-control ledger.  All counters are (D, 2) — device x
+    half — since each mesh device runs its own pool shard."""
 
     def __init__(self, geom: StreamGeom, carry, template: dict,
                  consumed_est: float):
@@ -123,19 +146,21 @@ class _StreamHost:
         self.carry = carry
         self.template = template
         self.fifo: deque = deque()
-        # (sent_items_t, sent_items_s, flow-log device handles)
+        # (sent[h][d] item lists, flow-log device handles)
         self.inflight: deque = deque()
-        self.leftover_settled = np.zeros(2, np.int64)
-        self.consumed_est = np.full(2, consumed_est)
+        D = geom.D
+        self.leftover_settled = np.zeros((D, 2), np.int64)
+        self.consumed_est = np.full((D, 2), consumed_est)
         self.next_uid = 0
         self.staged: Dict[int, dict] = {}  # uid -> raw episode row
         self.records: List[dict] = []      # per-window record fetches
 
     def inventory_est(self) -> np.ndarray:
         inv = self.leftover_settled.astype(np.float64)
-        for sent_t, sent_s, _flow in self.inflight:
-            inv += (np.array([len(sent_t), len(sent_s)], np.float64)
-                    - self.consumed_est)
+        for sent, _flow in self.inflight:
+            n_sent = np.array([[len(sent[h][d]) for h in (0, 1)]
+                               for d in range(self.geom.D)], np.float64)
+            inv += n_sent - self.consumed_est
         return np.maximum(inv, 0.0)
 
 
@@ -148,23 +173,29 @@ class StreamMixin:
     # gating and geometry
     # ---------------------------------------------------------------
     def use_stream_rollout(self) -> bool:
-        """Streaming needs the device rollout path, both halves of the
-        accumulate pair (an ML weight), and a single device (the carry
-        is not mesh-sharded yet — episodic data-parallel covers that
-        case)."""
-        return (self.cfg.rollout_mode == "stream"
-                and self.mesh is None
-                and self.use_device_rollout())
+        """Streaming needs the device rollout path; under a data mesh
+        the batch must split evenly into per-device slot shards."""
+        if (self.cfg.rollout_mode != "stream"
+                or not self.use_device_rollout()):
+            return False
+        if self.mesh is not None:
+            return self.cfg.batch_size % self.mesh.shape["data"] == 0
+        return True
+
+    def _stream_n_data(self) -> int:
+        return 1 if self.mesh is None else self.mesh.shape["data"]
 
     def _stream_geom(self) -> StreamGeom:
         cfg = self.cfg
+        D = self._stream_n_data()
         S = cfg.stream_steps or cfg.max_action
+        B = cfg.batch_size // D
         if cfg.stream_pool:
-            E = cfg.stream_pool
+            E = -(-cfg.stream_pool // D)
         else:
-            E = int(np.ceil(1.3 * cfg.batch_size * S
+            E = int(np.ceil(1.3 * B * S
                             / max(self._stream_mean_len(), 2.0)))
-        return StreamGeom(cfg.batch_size, S, max(E, 2))
+        return StreamGeom(B, S, max(E, 2), D)
 
     def _stream_mean_len(self) -> float:
         """Steady-state episode length estimate: the dataset mean path
@@ -206,6 +237,12 @@ class StreamMixin:
         keep_p = 1.0 - cfg.featdropout
         is_sample = jnp.arange(W) >= B          # static slot halves
         ml_rows = ~is_sample
+        # under a data mesh the body runs per-device inside shard_map:
+        # sums that normalize or report globally ride one psum
+        mesh_axis = None if geom.D == 1 else "data"
+
+        def allsum(x):
+            return jax.lax.psum(x, mesh_axis) if mesh_axis else x
 
         def loss_fn(inner_params, tables, env_arrays, carry, fresh,
                     fresh_n, base_rng, ml_w, rl_w, ent_w):
@@ -213,12 +250,18 @@ class StreamMixin:
             inner_params = self._cast_params_once(inner_params)
             params = {"params": inner_params}
             dist_t, node_base_t = env_arrays[6], env_arrays[8]
+            if mesh_axis:
+                # decorrelate per-device noise/sampling streams (the
+                # episodic DP path gets this for free from per-row
+                # categorical draws; dropout salts here are per-window)
+                base_rng = jax.random.fold_in(
+                    base_rng, jax.lax.axis_index(mesh_axis))
 
             # ---- pool regions: carried leftovers first, then as much
             # of the fresh chunk as fits (the admit clamp; the host
             # re-queues the rest — nothing is dropped)
-            pool_n = carry["pool_n"]                       # (2,) i32
-            adm = jnp.minimum(fresh_n, E - pool_n)
+            pool_n = carry["pool_n"][0]                    # (2,) i32
+            adm = jnp.minimum(fresh_n[0], E - pool_n)
             avail = pool_n + adm                           # (2,) i32
 
             def build_region(h):
@@ -437,12 +480,17 @@ class StreamMixin:
             # so the next window refills without a bookkeeping step
             alive = alive & (age < T)
 
-            # ---- losses over the slot-time grid
+            # ---- losses over the slot-time grid.  Sums are LOCAL
+            # (this device's slot shard); denominators are GLOBAL
+            # (one psum), so the returned loss is this device's
+            # contribution to the same global objective the D=1
+            # program computes — grads psum outside (sharded_step)
             n_eps = jnp.stack([
                 (carry["alive"] & ml_rows).sum(),
                 (carry["alive"] & is_sample).sum()]).astype(jnp.int32) \
                 + outs["refills"].sum(0)
-            n_ml = jnp.maximum(n_eps[0].astype(jnp.float32), 1.0)
+            n_eps_g = allsum(n_eps)
+            n_ml = jnp.maximum(n_eps_g[0].astype(jnp.float32), 1.0)
 
             mlm = outs["ml_mask"]
             forth_loss = (outs["ce"] * mlm).sum()
@@ -450,22 +498,23 @@ class StreamMixin:
             if cfg.pred_back:
                 ml_loss = ml_loss + cfg.back_weight \
                     * (outs["back_ce"] * mlm).sum()
-            logs = {"forth_loss": forth_loss,
-                    "entropy": (outs["ent"] * outs["rl_mask"]).sum(),
-                    "env_steps": outs["env_steps"].sum()}
+            logs = {"forth_loss": allsum(forth_loss),
+                    "entropy": allsum(
+                        (outs["ent"] * outs["rl_mask"]).sum()),
+                    "env_steps": allsum(outs["env_steps"].sum())}
             if cfg.pred_pm:
                 # per-episode normalization (the episodic program uses
                 # a per-step batch mean; under streaming the episode is
                 # the stable unit — documented regime difference)
                 pm_total = cfg.pm_weight * (outs["pm_sq"] * mlm).sum()
                 ml_loss = ml_loss + pm_total
-                logs["pm_loss"] = pm_total / n_ml
+                logs["pm_loss"] = allsum(pm_total / n_ml)
             if cfg.agent_type == "advanced":
                 adv = (outs["adv_sq"] * mlm).sum()
                 ml_loss = ml_loss + 10.0 * adv
-                logs["pm_loss"] = adv / n_ml
+                logs["pm_loss"] = allsum(adv / n_ml)
             total_loss = ml_w * ml_loss / n_ml
-            logs["ml_loss"] = ml_loss / n_ml
+            logs["ml_loss"] = allsum(ml_loss / n_ml)
 
             G = stream_returns(outs["reward"], outs["value"],
                                outs["done"], outs["trunc"],
@@ -476,23 +525,26 @@ class StreamMixin:
             critic = (0.5 * ((G - outs["value"]) ** 2) * rlm).sum()
             ent_term = (-ent_w * outs["ent"] * rlm).sum()
             rl_loss = pg + critic + ent_term
-            total = rlm.sum()
+            total = allsum(rlm.sum())
             if cfg.normalize_loss == "total":
                 rl_loss = rl_loss / jnp.maximum(total, 1.0)
+                critic = critic / jnp.maximum(total, 1.0)
             elif cfg.normalize_loss == "batch":
-                rl_loss = rl_loss / jnp.maximum(
-                    n_eps[1].astype(jnp.float32), 1.0)
+                nb = jnp.maximum(n_eps_g[1].astype(jnp.float32), 1.0)
+                rl_loss = rl_loss / nb
+                critic = critic / nb
             total_loss = total_loss + rl_w * rl_loss
-            logs["rl_loss"] = rl_w * rl_loss
-            logs["critic_loss"] = rl_w * critic
+            logs["rl_loss"] = allsum(rl_w * rl_loss)
+            logs["critic_loss"] = allsum(rl_w * critic)
             logs["total"] = total
-            logs["loss"] = total_loss
-            # flow-control counters (host reads these LAGGED)
-            logs["admitted"] = adm
-            logs["consumed"] = cur
-            logs["leftover"] = avail - cur
-            logs["starved"] = outs["starved"].sum()
-            logs["n_eps"] = n_eps
+            logs["loss"] = allsum(total_loss)
+            # flow-control counters (host reads these LAGGED; leading
+            # axis = device under the mesh, 1 otherwise)
+            logs["admitted"] = adm[None]
+            logs["consumed"] = cur[None]
+            logs["leftover"] = (avail - cur)[None]
+            logs["starved"] = allsum(outs["starved"].sum())
+            logs["n_eps"] = n_eps_g
             if record:
                 for key2 in ("rec_action", "rec_node", "rec_uid",
                              "rec_take"):
@@ -514,7 +566,7 @@ class StreamMixin:
                 "noise": noise,
                 "pool": {f: jnp.stack([lo[0][f], lo[1][f]])
                          for f in RAW_FIELDS},
-                "pool_n": avail - cur,
+                "pool_n": (avail - cur)[None],
             }
             new_carry = jax.tree_util.tree_map(ng, new_carry)
             return total_loss, (logs, new_carry)
@@ -532,28 +584,99 @@ class StreamMixin:
             loss_fn = self._make_stream_loss_fn(feedback, use_noise,
                                                 geom, record=record)
 
+            def grad_step(params, tables, env_arrays, carry, *args):
+                """Per-device: local grads of the global objective (the
+                loss_fn body psums its denominators)."""
+                (_, (logs, new_carry)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(
+                    params["params"], tables, env_arrays, carry, *args)
+                return grads, logs, new_carry
+
+            if geom.D > 1:
+                grad_step = self._stream_shard_map(grad_step, geom,
+                                                   record)
+
             if accumulate:
                 @functools.partial(jax.jit, donate_argnums=(3, 4))
                 def run(params, tables, env_arrays, grads_in, carry,
                         *args):
-                    (_, (logs, new_carry)), grads = jax.value_and_grad(
-                        loss_fn, has_aux=True)(
-                        params["params"], tables, env_arrays, carry,
-                        *args)
+                    grads, logs, new_carry = grad_step(
+                        params, tables, env_arrays, carry, *args)
                     grads = jax.tree_util.tree_map(jnp.add, grads,
                                                    grads_in)
                     return grads, logs, new_carry
             else:
                 @functools.partial(jax.jit, donate_argnums=(3,))
                 def run(params, tables, env_arrays, carry, *args):
-                    (_, (logs, new_carry)), grads = jax.value_and_grad(
-                        loss_fn, has_aux=True)(
-                        params["params"], tables, env_arrays, carry,
-                        *args)
-                    return grads, logs, new_carry
+                    return grad_step(params, tables, env_arrays, carry,
+                                     *args)
 
             self._jit_cache[key] = run
         return self._jit_cache[key]
+
+    def _stream_shard_map(self, grad_step, geom: StreamGeom,
+                          record: bool):
+        """Data-parallel window: shard_map over the mesh's data axis —
+        each device scans its own slot shard against its own pool shard
+        (device-major slot layout, zero cross-device gathers on the hot
+        path), then one psum for the grads.  Replaces the reference's
+        DDP loop (tasks/R2R/parallel.py) with in-program collectives."""
+        try:
+            from jax import shard_map
+        except ImportError:  # older jax
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        d = "data"
+
+        def carry_spec(leaf_key):
+            if leaf_key == "pool":
+                return P(None, d)      # (2, D*E, ...) pool shards
+            if leaf_key == "pool_n":
+                return P(d)            # (D, 2) per-device counters
+            return P(d)                # (D*W, ...) slot shards
+
+        cspec = {k: ({f: carry_spec(k) for f in RAW_FIELDS}
+                     if k in ("slot_raw", "pool") else carry_spec(k))
+                 for k in ("slot_raw", "alive", "age", "node", "view",
+                           "h", "c", "h1", "noise", "pool", "pool_n")}
+        fresh_spec = {f: P(None, d) for f in RAW_FIELDS}
+        # logs: counters carry the device axis; everything else is
+        # psum-replicated inside the body; records shard on slots
+        lspec = {"admitted": P(d), "consumed": P(d), "leftover": P(d)}
+        log_keys = self._stream_log_keys(record)
+        out_logs = {k: lspec.get(k, P(None, d) if k.startswith("rec_")
+                                 else P()) for k in log_keys}
+
+        def psum_grads(params, tables, env_arrays, carry, *args):
+            grads, logs, new_carry = grad_step(params, tables,
+                                               env_arrays, carry, *args)
+            grads = jax.lax.psum(grads, d)
+            return grads, logs, new_carry
+
+        kwargs = dict(
+            mesh=self.mesh,
+            in_specs=(P(), P(), P(), cspec, fresh_spec, P(d), P(), P(),
+                      P(), P()),
+            out_specs=(P(), out_logs, cspec))
+        try:  # jax>=0.8 spells the replication check check_vma
+            return shard_map(psum_grads, check_vma=False, **kwargs)
+        except TypeError:
+            return shard_map(psum_grads, check_rep=False, **kwargs)
+
+    def _stream_log_keys(self, record: bool) -> Tuple[str, ...]:
+        """The exact key set loss_fn's logs dict carries (shard_map
+        out_specs must mirror the pytree)."""
+        cfg = self.cfg
+        keys = ["forth_loss", "entropy", "env_steps", "ml_loss",
+                "rl_loss", "critic_loss", "total", "loss", "admitted",
+                "consumed", "leftover", "starved", "n_eps"]
+        if cfg.pred_pm or cfg.agent_type == "advanced":
+            keys.append("pm_loss")
+        if record:
+            keys += ["rec_action", "rec_node", "rec_uid", "rec_take",
+                     "rec_real", "rec_done", "rec_trunc"]
+        return tuple(keys)
 
     # ---------------------------------------------------------------
     # host staging
@@ -574,7 +697,7 @@ class StreamMixin:
         from dasa_tpu.models.policy import decoder_state_width
 
         cfg = self.cfg
-        W, E = geom.W, geom.E
+        W, E, D = geom.W_glob, geom.E_glob, geom.D
         tpl = self._stream_template_row()
         dec_h = decoder_state_width(cfg)
 
@@ -583,7 +706,7 @@ class StreamMixin:
                 tpl[f], (n,) + np.shape(tpl[f])).copy())
                 for f in RAW_FIELDS}
 
-        return {
+        carry = {
             "slot_raw": rows(W),
             "alive": jnp.zeros((W,), bool),
             "age": jnp.zeros((W,), jnp.int32),
@@ -595,8 +718,31 @@ class StreamMixin:
             "noise": jnp.ones((W, cfg.feature_size), self.dtype),
             "pool": {f: jnp.stack([rows(E)[f], rows(E)[f]])
                      for f in RAW_FIELDS},
-            "pool_n": jnp.zeros((2,), jnp.int32),
+            "pool_n": jnp.zeros((D, 2), jnp.int32),
         }
+        return self._stream_place_carry(carry)
+
+    def _stream_place_carry(self, carry):
+        """Pin the carry to its shard_map layout (slot/pool shards) so
+        the donated round trip keeps one stable sharding."""
+        if self.mesh is None:
+            return carry
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        def put(spec):
+            s = NamedSharding(self.mesh, spec)
+            return lambda x: jax.device_put(x, s)
+
+        out = dict(carry)
+        for k in ("alive", "age", "node", "view", "h", "c", "h1",
+                  "noise", "pool_n"):
+            out[k] = put(P("data"))(carry[k])
+        out["slot_raw"] = {f: put(P("data"))(carry["slot_raw"][f])
+                           for f in RAW_FIELDS}
+        out["pool"] = {f: put(P(None, "data"))(carry["pool"][f])
+                       for f in RAW_FIELDS}
+        return out
 
     def _stream_host(self) -> _StreamHost:
         """Per-env stream state (the trainer swaps org/aug envs; each
@@ -639,40 +785,56 @@ class StreamMixin:
 
     def _settle_stream_window(self, st: _StreamHost) -> None:
         """Read one lagged window's flow counters and reconcile: chunk
-        tails the pool had no room for go back to the FIFO front (the
-        device never saw them), and the exact leftover/consumed counts
-        re-anchor the inventory estimate."""
-        sent_t, sent_s, flow = st.inflight.popleft()
-        adm = np.asarray(flow["admitted"])
-        consumed = np.asarray(flow["consumed"])
-        for h, items in ((1, sent_s), (0, sent_t)):
-            for it in reversed(items[int(adm[h]):]):
-                st.fifo.appendleft(it)
+        tails a pool shard had no room for go back to the FIFO front
+        (the device never saw them), and the exact leftover/consumed
+        counts re-anchor the inventory estimate."""
+        sent, flow = st.inflight.popleft()
+        adm = np.asarray(flow["admitted"])       # (D, 2)
+        consumed = np.asarray(flow["consumed"])  # (D, 2)
+        D = st.geom.D
+        # appendleft in exact reverse of the staging pop order
+        # (h-major, then device) so re-queued items keep FIFO order
+        for h in (1, 0):
+            for d in reversed(range(D)):
+                for it in reversed(sent[h][d][int(adm[d, h]):]):
+                    st.fifo.appendleft(it)
         st.leftover_settled = np.asarray(flow["leftover"]).astype(
             np.int64)
         st.consumed_est = np.maximum(consumed.astype(np.float64), 1.0)
 
     def _stage_stream_fresh(self, st: _StreamHost):
-        """Assemble this window's fixed-shape fresh chunks, targeting a
-        full pool under the lagged inventory estimate."""
-        E = st.geom.E
+        """Assemble this window's fixed-shape fresh chunks — one
+        per-device segment per half, targeting full pool shards under
+        the lagged inventory estimate."""
+        E, D = st.geom.E, st.geom.D
         while len(st.inflight) >= 2:  # settle all but the running window
             self._settle_stream_window(st)
-        inv = st.inventory_est()
-        f_n = np.clip(E - inv, 0, E).astype(np.int32)
+        inv = st.inventory_est()                       # (D, 2)
+        f_n = np.clip(E - inv, 0, E).astype(np.int32)  # (D, 2)
         self._stream_refill_fifo(st, int(f_n.sum()))
-        sent = [[st.fifo.popleft() for _ in range(int(f_n[h]))]
-                for h in (0, 1)]
+        sent = [[[st.fifo.popleft() for _ in range(int(f_n[d, h]))]
+                 for d in range(D)] for h in (0, 1)]
 
         fresh = {}
         for f in RAW_FIELDS:
-            shape = (2, E) + np.shape(st.template[f])
+            shape = (2, D * E) + np.shape(st.template[f])
             arr = np.broadcast_to(st.template[f], shape).copy()
             for h in (0, 1):
-                for i, it in enumerate(sent[h]):
-                    arr[h, i] = it[f]
+                for d in range(D):
+                    for i, it in enumerate(sent[h][d]):
+                        arr[h, d * E + i] = it[f]
             fresh[f] = jnp.asarray(arr)
-        return fresh, jnp.asarray(f_n), sent
+        return self._stream_place_fresh(fresh), \
+            jnp.asarray(f_n), sent
+
+    def _stream_place_fresh(self, fresh):
+        if self.mesh is None:
+            return fresh
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        s = NamedSharding(self.mesh, P(None, "data"))
+        return {f: jax.device_put(v, s) for f, v in fresh.items()}
 
     # ---------------------------------------------------------------
     # training entry
@@ -710,7 +872,7 @@ class StreamMixin:
                 self._grad_accum, st.carry, fresh, f_n, base_rng,
                 ml_w, rl_w, ent_w)
         self._grad_accum = grads
-        st.inflight.append((sent[0], sent[1],
+        st.inflight.append((sent,
                             {kk: logs[kk] for kk in
                              ("admitted", "consumed", "leftover")}))
         if record:
@@ -738,11 +900,13 @@ class StreamMixin:
 
         use_noise = self.cfg.consistent_drop
         st = self._stream_host()
-        E = st.geom.E
-        fresh = {f: jnp.asarray(np.broadcast_to(
-            st.template[f], (2, E) + np.shape(st.template[f])).copy())
-            for f in RAW_FIELDS}
-        f_n = jnp.zeros((2,), jnp.int32)
+        E, D = st.geom.E, st.geom.D
+        fresh = self._stream_place_fresh(
+            {f: jnp.asarray(np.broadcast_to(
+                st.template[f],
+                (2, D * E) + np.shape(st.template[f])).copy())
+             for f in RAW_FIELDS})
+        f_n = jnp.zeros((D, 2), jnp.int32)
         args_tail = (fresh, f_n, self._base_rng,
                      jnp.asarray(0.2, jnp.float32),
                      jnp.asarray(1.0, jnp.float32),

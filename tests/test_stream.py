@@ -374,6 +374,61 @@ def test_stream_training_reduces_loss(world, connectivity_dir):
     assert np.mean(ml[-4:]) < np.mean(ml[:4]) * 0.9, ml
 
 
+def test_stream_mesh_trajectories_and_exactness(world,
+                                                connectivity_dir):
+    """Data-parallel streaming (shard_map over a 4-device mesh,
+    per-device slot+pool shards): per-episode trajectories must still
+    equal standalone rollouts, every episode consumed exactly once
+    across all shards, and the psum'd grads must be finite."""
+    from dasa_tpu.parallel import make_mesh
+
+    cfg = tiny_cfg(stream_pool=8)
+    env = make_env(world, cfg, connectivity_dir)
+    data_dir, feature_db, tok = world
+    mesh = make_mesh(n_data=4, devices=jax.devices()[:4])
+    agent = Seq2SeqAgent(cfg, env, feature_db, vocab_size=len(tok),
+                         rng_seed=7, mesh=mesh)
+    assert agent.use_stream_rollout()
+    st = agent._stream_host()
+    geom = st.geom
+    assert geom.D == 4 and geom.B == 1 and geom.W == 2
+    for _ in range(5):
+        agent.zero_grad()
+        agent.device_rollout_stream(cfg.ml_weight, feedback="argmax",
+                                    record=True)
+        # no optim_step: frozen params for the standalone comparison
+
+    eps = _collect_episodes(st.records)
+    assert len(eps) >= 10, f"too few streamed episodes: {len(eps)}"
+    uids = sorted(eps)
+    rows = [st.staged[u] for u in uids]
+    # device-major slot layout: global slot w = device d's slot j,
+    # sample half iff j >= B (per-device)
+    is_sample = np.array([eps[u]["slot"] % geom.W >= geom.B
+                          for u in uids])
+    acts, nodes, _ = _batched_oracle(agent, rows, is_sample,
+                                     cfg.max_action)
+    for i, u in enumerate(uids):
+        e = eps[u]
+        L_e = len(e["actions"])
+        np.testing.assert_array_equal(
+            np.array(e["actions"]), acts[:L_e, i],
+            err_msg=f"uid {u} slot {e['slot']} actions diverge (mesh)")
+        np.testing.assert_array_equal(
+            np.array(e["nodes"]), nodes[:L_e, i],
+            err_msg=f"uid {u} node path diverges (mesh)")
+
+    take_uids = []
+    for r in st.records:
+        tk = r["rec_take"] & (r["rec_uid"] >= 0)
+        take_uids.extend(r["rec_uid"][tk].tolist())
+    assert len(take_uids) == len(set(take_uids))
+    assert set(take_uids) <= set(st.staged)
+    for g in jax.tree_util.tree_leaves(agent._grad_accum):
+        assert np.isfinite(np.asarray(g)).all()
+    agent.optim_step()  # replicated psum'd grads apply cleanly
+
+
 def test_stream_env_swap_keeps_separate_carries(world,
                                                 connectivity_dir):
     """The trainer's org/aug alternation swaps self.env between
