@@ -93,6 +93,9 @@ def main():
                     help="trace the combined 2B-wide accumulate-pair "
                          "program (bench.py's default) instead of the "
                          "split teacher+sample pair")
+    ap.add_argument("--stream", action="store_true",
+                    help="trace the streamed (continuous-batching) "
+                         "window program (agents/stream.py)")
     args = ap.parse_args()
 
     logdir = args.parse_only or args.out
@@ -124,6 +127,8 @@ def main():
         )
         if args.fuse:
             cfg = cfg.replace(fuse_passes="auto")
+        if args.stream:
+            cfg = cfg.replace(rollout_mode="stream")
         scans = ["17DRP5sb8fy", "2t7WUuJeko7"]
         fixture = "/root/repo/data/bench_fixture.json"
         if os.path.exists(fixture):
@@ -148,11 +153,16 @@ def main():
                              vocab_size=len(tok))
         assert agent.use_device_rollout()
         print(f"backend={jax.default_backend()}", flush=True)
-        agent.precompile_device()
+        if args.stream:
+            agent.precompile_stream()
+        else:
+            agent.precompile_device()
 
         def one_pair():
             agent.zero_grad()
-            if args.fuse:
+            if args.stream:
+                agent.device_rollout_stream(0.2, feedback="sample")
+            elif args.fuse:
                 agent.device_rollout_combined(0.2, feedback="sample")
             else:
                 agent.device_rollout(train_ml=0.2, train_rl=False,
