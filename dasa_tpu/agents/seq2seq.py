@@ -1995,6 +1995,10 @@ class Seq2SeqAgent(StreamMixin):
             for _ in range(iters):
                 self.rollout(train_ml=None, train_rl=False,
                              feedback=feedback)
+        elif device_eval and self.use_stream_rollout():
+            # streamed eval: the split flows through persistent slots
+            # at full utilization (agents/stream.py)
+            self.stream_test_loop()
         else:
             max_batches = env.size() // env.batch_size + 2
             for _ in range(max_batches):

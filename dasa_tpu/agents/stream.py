@@ -210,7 +210,8 @@ class StreamMixin:
     # the window program
     # ---------------------------------------------------------------
     def _make_stream_loss_fn(self, feedback: str, use_noise: bool,
-                             geom: StreamGeom, record: bool = False):
+                             geom: StreamGeom, record: bool = False,
+                             eval_mode: bool = False):
         """One optimizer window: admit fresh episodes into the pool,
         encode every episode text the window can touch, run S scan
         steps with per-step slot refill, bootstrap the edge, and
@@ -219,7 +220,13 @@ class StreamMixin:
         Returns ``loss_fn(inner_params, tables, env_arrays, carry,
         fresh, fresh_n, base_rng, ml_w, rl_w, ent_w) ->
         (total_loss, (logs, new_carry))``.
-        """
+
+        eval_mode: inference semantics — dropout off (deterministic,
+        is_test), EVERY slot takes the policy action (no teacher half),
+        no env-drop noise; the loss outputs are dead code the jit
+        wrapper drops (``_stream_eval_window`` returns logs+carry only,
+        so XLA DCEs the critic/CE math).  Used by the streamed test
+        loop (device-eval throughput at full slot utilization)."""
         from dasa_tpu.agents.seq2seq import (
             INIT_SALT,
             _entropy,
@@ -291,7 +298,7 @@ class StreamMixin:
             # that runs inside this window (truncated BPTT at edges)
             cached_tab = policy.apply(
                 params, table["instr"], table["valid"], table["seq_len"],
-                deterministic=False,
+                deterministic=eval_mode,
                 rngs={"dropout": jax.random.fold_in(base_rng, INIT_SALT)},
                 method=DasaPolicy.encode_text)
 
@@ -299,7 +306,7 @@ class StreamMixin:
                               noise_e, drop_rng):
                 return policy.apply(
                     {"params": inner}, cached_e, valid_e, seqlen_e,
-                    inputs, deterministic=False, is_test=False,
+                    inputs, deterministic=eval_mode, is_test=eval_mode,
                     env_noise=noise_e if use_noise else None,
                     rngs={"dropout": drop_rng},
                     lstm_pallas=self._lstm_pallas,
@@ -329,7 +336,7 @@ class StreamMixin:
                     noise[:, None, :], jax.random.fold_in(step_rng, 0))
                 new_state, logit, value, aux = policy.apply(
                     params, percept, valid_e, state, is_first,
-                    deterministic=False, already_dropfeat=use_noise,
+                    deterministic=eval_mode, already_dropfeat=use_noise,
                     rngs={"dropout": jax.random.fold_in(step_rng, 1)},
                     method=DasaPolicy.decode_from_percept)
                 masked = jnp.where(sobs["logit_mask"], NEG_INF,
@@ -388,7 +395,10 @@ class StreamMixin:
                         jax.random.fold_in(step_rng, 2), masked, axis=-1)
                 else:  # argmax (tests/eval-style streams)
                     a_pol = jnp.argmax(masked, axis=-1)
-                a = jnp.where(is_sample, a_pol, sobs["teacher"])
+                if eval_mode:  # every slot walks the policy
+                    a = a_pol
+                else:
+                    a = jnp.where(is_sample, a_pol, sobs["teacher"])
                 a = ng(a).astype(jnp.int32)
                 a_rec = jnp.minimum(a, sobs["cand_n"])
                 ce = -jnp.take_along_axis(
@@ -442,6 +452,7 @@ class StreamMixin:
                 if record:
                     outs["rec_action"] = a_rec
                     outs["rec_node"] = node
+                    outs["rec_view"] = view
                     outs["rec_uid"] = table["uid"][slot_ep]
                     outs["rec_take"] = take
 
@@ -546,12 +557,19 @@ class StreamMixin:
             logs["starved"] = allsum(outs["starved"].sum())
             logs["n_eps"] = n_eps_g
             if record:
-                for key2 in ("rec_action", "rec_node", "rec_uid",
-                             "rec_take"):
+                for key2 in ("rec_action", "rec_node", "rec_view",
+                             "rec_uid", "rec_take"):
                     logs[key2] = outs[key2]
                 logs["rec_real"] = outs["real"]
                 logs["rec_done"] = outs["done"]
                 logs["rec_trunc"] = outs["trunc"]
+                # end-of-window slot state: the post-transition
+                # node/view of each slot's LAST recorded step (the
+                # next window's t=0 row continues the episode unless
+                # it was edge-killed — this closes that gap)
+                logs["rec_node_end"] = node
+                logs["rec_view_end"] = view
+                logs["rec_uid_end"] = table["uid"][slot_ep]
 
             # ---- next-window carry (all state device-resident)
             def leftover_rows(h):
@@ -614,8 +632,32 @@ class StreamMixin:
             self._jit_cache[key] = run
         return self._jit_cache[key]
 
+    def _stream_eval_fn(self, geom: StreamGeom):
+        """Forward-only streamed window at inference semantics: returns
+        ``(logs, new_carry)`` — records only, so XLA DCEs the loss/critic
+        math.  The streamed analog of `_device_eval_fn`."""
+        key = ("devstream_eval", geom.key())
+        if key not in self._jit_cache:
+            import functools
+
+            loss_fn = self._make_stream_loss_fn(
+                "argmax", False, geom, record=True, eval_mode=True)
+
+            def eval_step(params, tables, env_arrays, carry, *args):
+                _, (logs, new_carry) = loss_fn(
+                    params["params"], tables, env_arrays, carry, *args)
+                return logs, new_carry
+
+            if geom.D > 1:
+                eval_step = self._stream_shard_map(eval_step, geom,
+                                                   record=True,
+                                                   with_grads=False)
+            self._jit_cache[key] = functools.partial(
+                jax.jit, donate_argnums=(3,))(eval_step)
+        return self._jit_cache[key]
+
     def _stream_shard_map(self, grad_step, geom: StreamGeom,
-                          record: bool):
+                          record: bool, with_grads: bool = True):
         """Data-parallel window: shard_map over the mesh's data axis —
         each device scans its own slot shard against its own pool shard
         (device-major slot layout, zero cross-device gathers on the hot
@@ -645,24 +687,37 @@ class StreamMixin:
         # psum-replicated inside the body; records shard on slots
         lspec = {"admitted": P(d), "consumed": P(d), "leftover": P(d)}
         log_keys = self._stream_log_keys(record)
-        out_logs = {k: lspec.get(k, P(None, d) if k.startswith("rec_")
-                                 else P()) for k in log_keys}
 
-        def psum_grads(params, tables, env_arrays, carry, *args):
-            grads, logs, new_carry = grad_step(params, tables,
-                                               env_arrays, carry, *args)
-            grads = jax.lax.psum(grads, d)
-            return grads, logs, new_carry
+        def log_spec(k):
+            if k in lspec:
+                return lspec[k]
+            if k.endswith("_end"):      # (W,) end-of-window slot state
+                return P(d)
+            if k.startswith("rec_"):    # (S, W) slot-time records
+                return P(None, d)
+            return P()                  # psum-replicated scalars
+        out_logs = {k: log_spec(k) for k in log_keys}
+
+        if with_grads:
+            def body(params, tables, env_arrays, carry, *args):
+                grads, logs, new_carry = grad_step(
+                    params, tables, env_arrays, carry, *args)
+                grads = jax.lax.psum(grads, d)
+                return grads, logs, new_carry
+            out_specs = (P(), out_logs, cspec)
+        else:
+            body = grad_step
+            out_specs = (out_logs, cspec)
 
         kwargs = dict(
             mesh=self.mesh,
             in_specs=(P(), P(), P(), cspec, fresh_spec, P(d), P(), P(),
                       P(), P()),
-            out_specs=(P(), out_logs, cspec))
+            out_specs=out_specs)
         try:  # jax>=0.8 spells the replication check check_vma
-            return shard_map(psum_grads, check_vma=False, **kwargs)
+            return shard_map(body, check_vma=False, **kwargs)
         except TypeError:
-            return shard_map(psum_grads, check_rep=False, **kwargs)
+            return shard_map(body, check_rep=False, **kwargs)
 
     def _stream_log_keys(self, record: bool) -> Tuple[str, ...]:
         """The exact key set loss_fn's logs dict carries (shard_map
@@ -674,8 +729,9 @@ class StreamMixin:
         if cfg.pred_pm or cfg.agent_type == "advanced":
             keys.append("pm_loss")
         if record:
-            keys += ["rec_action", "rec_node", "rec_uid", "rec_take",
-                     "rec_real", "rec_done", "rec_trunc"]
+            keys += ["rec_action", "rec_node", "rec_view", "rec_uid",
+                     "rec_take", "rec_real", "rec_done", "rec_trunc",
+                     "rec_node_end", "rec_view_end", "rec_uid_end"]
         return tuple(keys)
 
     # ---------------------------------------------------------------
@@ -876,10 +932,9 @@ class StreamMixin:
                             {kk: logs[kk] for kk in
                              ("admitted", "consumed", "leftover")}))
         if record:
-            st.records.append({kk: np.asarray(logs[kk]) for kk in
-                               ("rec_action", "rec_node", "rec_uid",
-                                "rec_take", "rec_real", "rec_done",
-                                "rec_trunc")})
+            st.records.append({kk: np.asarray(v)
+                               for kk, v in logs.items()
+                               if kk.startswith("rec_")})
         self._env_steps_log.append(logs["env_steps"])
         # episodes started this window (device handle, fetched lazily):
         # starts ~= completions over a run, so steps/starts estimates
@@ -890,6 +945,121 @@ class StreamMixin:
             if k2 in logs:
                 self.logs[k2].append(logs[k2])
         self.losses.append(logs["loss"])
+
+    # ---------------------------------------------------------------
+    # streamed evaluation
+    # ---------------------------------------------------------------
+    def stream_test_loop(self) -> None:
+        """Streamed device evaluation: the whole split flows through
+        the persistent slots at full utilization (the eval analog of
+        device_rollout_stream; reference loop BaseAgent.test,
+        agent_dg.py:58-100).  Fills ``self.results`` exactly like
+        `_device_test_batch` — the episodic device eval is the
+        semantics oracle (tests/test_stream.py).  Fresh host state per
+        call: eval must see current params and must not touch the
+        training carries."""
+        from dasa_tpu.sim.engine import micro_trajectory
+
+        cfg = self.cfg
+        env = self.env
+        T = cfg.max_action
+        dev = self._device_env_tables()
+        geom = self._stream_geom()
+        st = _StreamHost(geom, self._stream_init_carry(geom),
+                         self._stream_template_row(),
+                         consumed_est=geom.E / 1.3)
+        fn = self._stream_eval_fn(geom)
+        zero = jnp.zeros((), jnp.float32)
+        segs: Dict[int, dict] = {}
+
+        node2vp = {}
+        for scan in env.scans:
+            gids, base = env.graphs[scan].ids, dev.base[scan]
+            for ix, vid in enumerate(gids):
+                node2vp[base + ix] = vid
+
+        def angles(view):
+            return ((int(view) % 12) * (np.pi / 6),
+                    (int(view) // 12 - 1) * (np.pi / 6))
+
+        def finish(seg):
+            states = seg["states"]
+            tr = [(node2vp[states[0][0]], *angles(states[0][1]))]
+            for (n0, v0), (n1, v1) in zip(states, states[1:]):
+                micro_trajectory(node2vp[n0], int(v0), int(v1), tr)
+                tr.append((node2vp[n1], *angles(v1)))
+            iid = seg["instr_id"]
+            self.results[iid] = {"instr_id": iid, "trajectory": tr}
+
+        def process(rec):
+            S, Wg = rec["rec_action"].shape
+            for w in range(Wg):
+                for t in range(S):
+                    uid = int(rec["rec_uid"][t, w])
+                    if uid < 0:
+                        continue
+                    if rec["rec_trunc"][t, w]:
+                        # bookkeeping row: the episode's post-move
+                        # final state after its T-th step
+                        seg = segs.get(uid)
+                        if seg is not None and not seg["complete"]:
+                            seg["states"].append(
+                                (int(rec["rec_node"][t, w]),
+                                 int(rec["rec_view"][t, w])))
+                            seg["complete"] = True
+                            finish(seg)
+                        continue
+                    if not rec["rec_real"][t, w]:
+                        continue
+                    seg = segs.get(uid)
+                    if seg is None:
+                        seg = segs[uid] = {
+                            "states": [], "steps": 0, "complete": False,
+                            "instr_id": st.staged[uid]["instr_id"]}
+                    if seg["complete"]:
+                        continue
+                    seg["states"].append((int(rec["rec_node"][t, w]),
+                                          int(rec["rec_view"][t, w])))
+                    seg["steps"] += 1
+                    self.total_env_steps += 1
+                    if rec["rec_done"][t, w]:
+                        seg["complete"] = True
+                        finish(seg)
+            # slots edge-killed at exactly T real steps have no trunc
+            # row (the window-edge kill refills them next window): the
+            # end-of-window slot state closes them
+            for w in range(Wg):
+                uid = int(rec["rec_uid_end"][w])
+                seg = segs.get(uid)
+                if seg is not None and not seg["complete"] \
+                        and seg["steps"] >= T:
+                    seg["states"].append((int(rec["rec_node_end"][w]),
+                                          int(rec["rec_view_end"][w])))
+                    seg["complete"] = True
+                    finish(seg)
+
+        size = env.size()
+        per_window = max(geom.D * geom.W * geom.S, 1)
+        max_windows = 4 + 3 * -(-size * T // per_window)
+        pending = None
+        for _ in range(max_windows):
+            fresh, f_n, sent = self._stage_stream_fresh(st)
+            logs, st.carry = fn(self.params, self.tables, dev.arrays(),
+                                st.carry, fresh, f_n, self._base_rng,
+                                zero, zero, zero)
+            st.inflight.append((sent, {kk: logs[kk] for kk in
+                                       ("admitted", "consumed",
+                                        "leftover")}))
+            if pending is not None:  # lagged fetch: no per-window sync
+                process({kk: np.asarray(v) for kk, v in pending.items()
+                         if kk.startswith("rec_")})
+                if len(self.results) >= size:
+                    pending = None
+                    break
+            pending = logs
+        if pending is not None:
+            process({kk: np.asarray(v) for kk, v in pending.items()
+                     if kk.startswith("rec_")})
 
     def precompile_stream(self) -> None:
         """Compile (or AOT-load) the stream window program with

@@ -429,6 +429,31 @@ def test_stream_mesh_trajectories_and_exactness(world,
     agent.optim_step()  # replicated psum'd grads apply cleanly
 
 
+def test_stream_eval_matches_episodic_device_eval(world,
+                                                  connectivity_dir):
+    """Streamed evaluation must reproduce the episodic device eval's
+    trajectories exactly — same split coverage, same per-instruction
+    trajectory tuples (micro-steps included), under an untrained argmax
+    policy that exercises maxAction truncation heavily."""
+    data_dir, feature_db, tok = world
+
+    def results_with(mode):
+        cfg = tiny_cfg(rollout_mode=mode, max_action=4)
+        env = make_env(world, cfg, connectivity_dir)
+        agent = Seq2SeqAgent(cfg, env, feature_db, vocab_size=len(tok),
+                             rng_seed=11)
+        out = {r["instr_id"]: r["trajectory"]
+               for r in agent.test(feedback="argmax")}
+        return out, agent
+
+    episodic, _ = results_with("episodic")
+    streamed, sagent = results_with("stream")
+    assert sagent.use_stream_rollout()
+    assert streamed.keys() == episodic.keys()
+    for iid in episodic:
+        assert streamed[iid] == episodic[iid], iid
+
+
 def test_stream_env_swap_keeps_separate_carries(world,
                                                 connectivity_dir):
     """The trainer's org/aug alternation swaps self.env between
