@@ -80,6 +80,13 @@ def analytic_flops_per_agent_step(cfg, avg_episode_len: float) -> float:
 
 
 def main():
+    if os.environ.get("DASA_BENCH_CPU") == "1":
+        # force CPU before first backend use (env vars alone lose to
+        # sitecustomize's axon registration; with the axon service
+        # unreachable even backend init blocks — CLAUDE.md)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
     from dasa_tpu.agents import Seq2SeqAgent
@@ -123,10 +130,13 @@ def main():
         prng_impl=os.environ.get("DASA_BENCH_PRNG", "rbg"),
         # continuous batching (agents/stream.py): every scan row stays
         # on a live episode; one optimizer window per iteration.
-        # DASA_BENCH_STREAM=0 for the episodic A/B.
+        # DASA_BENCH_STREAM=0 for the episodic A/B; _STEPS/_POOL sweep
+        # the window length and per-half pool capacity (0 = auto).
         rollout_mode=("stream"
                       if os.environ.get("DASA_BENCH_STREAM", "0") == "1"
                       else "episodic"),
+        stream_steps=int(os.environ.get("DASA_BENCH_STREAM_STEPS", "0")),
+        stream_pool=int(os.environ.get("DASA_BENCH_STREAM_POOL", "0")),
     )
     if fast:  # plumbing smoke for CPU runs, not a benchmark
         cfg = cfg.replace(d_la_layers=1, d_vl_layers=1, batch_size=4,
