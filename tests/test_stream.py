@@ -429,6 +429,26 @@ def test_stream_mesh_trajectories_and_exactness(world,
     agent.optim_step()  # replicated psum'd grads apply cleanly
 
 
+@pytest.mark.parametrize("cfg_kw", [
+    dict(pred_pm=True, pm_type="v1", pred_back=True),
+    dict(agent_type="advanced"),
+])
+def test_stream_aux_heads_train(world, connectivity_dir, cfg_kw):
+    """The stream program's auxiliary-loss branches (progress monitor,
+    back head, advanced agent) run and produce finite losses/grads."""
+    cfg = tiny_cfg(**cfg_kw)
+    env = make_env(world, cfg, connectivity_dir)
+    data_dir, feature_db, tok = world
+    agent = Seq2SeqAgent(cfg, env, feature_db, vocab_size=len(tok))
+    assert agent.use_stream_rollout()
+    for _ in range(2):
+        agent.zero_grad()
+        agent.accumulate_gradient("sample")
+        agent.optim_step()
+        assert np.isfinite(float(np.asarray(agent.losses[-1])))
+        assert np.isfinite(float(np.asarray(agent.logs["pm_loss"][-1])))
+
+
 def test_stream_eval_matches_episodic_device_eval(world,
                                                   connectivity_dir):
     """Streamed evaluation must reproduce the episodic device eval's
