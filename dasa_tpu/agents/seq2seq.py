@@ -49,7 +49,10 @@ from dasa_tpu.models.featurize import (
 from dasa_tpu.models.layers import NEG_INF
 from dasa_tpu.agents.stream import StreamMixin
 from dasa_tpu.train.optim import build_optimizer
-from dasa_tpu.utils.angles import all_point_angle_feature
+from dasa_tpu.utils.angles import (
+    all_point_angle_feature,
+    view_rel_weight_table,
+)
 
 NOISE_SALT = 1 << 20
 INIT_SALT = (1 << 20) + 1
@@ -93,6 +96,43 @@ def make_step_inputs(cfg: Config, tables, sobs) -> StepInputs:
 
 def _entropy(logp, p):
     return -jnp.sum(jnp.where(p > 0, p * logp, 0.0), axis=-1)
+
+
+def mt_kl_rows(logp, teacher, cand_point_id, cand_n, has_row):
+    """Per-row soft-distance KL for the MT agent (agent_mt.py:712-718).
+
+    The reference builds a per-step target distribution over the REAL
+    candidate slots by softmaxing angular-proximity weights between each
+    candidate's view index and the teacher candidate's view index
+    (get_distance_weight, utils.py:703-713; padding masked to -1e5), and
+    adds KL(policy || target) as `F.kl_div(logp, target, 'mean')` over
+    the flattened valid entries: rows with a real teacher move
+    (`has_action` — not ended, teacher is not STOP), slots < cand_n
+    (the stop slot and padding are in the policy softmax's denominator
+    but excluded from the KL elements, matching candidate_idx == -1).
+
+    Returns (kl_row, cnt_row): each row's summed elementwise
+    target * (log target - logp) over its real candidate slots, and the
+    count of those elements — the caller divides sum by count to get the
+    reference's per-step 'mean' reduction at its batch structure.
+    """
+    k = logp.shape[-1]
+    W = jnp.asarray(view_rel_weight_table())               # (36, 36)
+    t_slot = jnp.clip(teacher, 0, k - 1)                   # has_row guards
+    t_view = jnp.take_along_axis(
+        jnp.clip(cand_point_id, 0, W.shape[0] - 1),
+        t_slot[:, None], axis=1)[:, 0]
+    c_view = jnp.clip(cand_point_id, 0, W.shape[0] - 1)
+    w = W[t_view[:, None], c_view]                         # (B, K)
+    slots = jnp.arange(k, dtype=jnp.int32)[None, :]
+    real_c = slots < cand_n[:, None]
+    tgt = jax.nn.softmax(jnp.where(real_c, w, -1e5), axis=-1)
+    valid = real_c & has_row[:, None]
+    elem = jnp.where(
+        valid,
+        jax.scipy.special.xlogy(tgt, tgt) - tgt * logp.astype(jnp.float32),
+        0.0)
+    return elem.sum(-1), valid.sum(-1).astype(jnp.float32)
 
 
 class Seq2SeqAgent(StreamMixin):
@@ -421,6 +461,16 @@ class Seq2SeqAgent(StreamMixin):
                     real = sobs["active"].any().astype(jnp.float32)
                     outs["adv_pm_mse"] = (jnp.mean((pp - pm_target) ** 2)
                                           * real)
+                if cfg.agent_type == "mt":
+                    # soft-distance KL, mean over this step's valid
+                    # entries (agent_mt.py:712-718)
+                    kl_row, cnt_row = mt_kl_rows(
+                        logp, sobs["teacher"], sobs["cand_point_id"],
+                        sobs["cand_n"],
+                        sobs["active"] & (sobs["teacher"]
+                                          < sobs["cand_n"]))
+                    outs["kl"] = kl_row.sum() \
+                        / jnp.maximum(cnt_row.sum(), 1.0)
                 return (new_state, t + 1), outs
 
             head = jax.tree_util.tree_map(lambda x: x[:n_steps], percepts)
@@ -444,6 +494,12 @@ class Seq2SeqAgent(StreamMixin):
                 # fixed x10 weight (agent_advanced.py:564); logged raw
                 ml_loss = ml_loss + 10.0 * adv_pm
                 logs["pm_loss"] = adv_pm
+            if cfg.agent_type == "mt":
+                # rides the ml scaling: loss += kl * train_ml / batch
+                # (agent_mt.py:871); logged raw like the reference (801)
+                kl_total = outs["kl"].sum()
+                ml_loss = ml_loss + kl_total
+                logs["kl_loss"] = kl_total
             total_loss = ml_weight * ml_loss / batch
             logs["ml_loss"] = ml_loss
 
@@ -833,6 +889,28 @@ class Seq2SeqAgent(StreamMixin):
                         else:
                             real = active.any().astype(jnp.float32)
                             outs["adv_pm_mse"] = jnp.mean(sq) * real
+                    if cfg.agent_type == "mt":
+                        # soft-distance KL (agent_mt.py:712-718): per-
+                        # step mean over the pass's valid entries
+                        kl_row, cnt_row = mt_kl_rows(
+                            logp, sobs["teacher"], sobs["cand_point_id"],
+                            sobs["cand_n"],
+                            active & (sobs["teacher"] < sobs["cand_n"]))
+                        if combined:
+                            # per-HALF means x that half's ml row weight
+                            # (= ml_scalar/pass_b) keep the split
+                            # programs' exact contributions
+                            def half_kl(hmask):
+                                s = jnp.where(hmask, kl_row, 0.0).sum()
+                                c = jnp.where(hmask, cnt_row, 0.0).sum()
+                                return s / jnp.maximum(c, 1.0)
+
+                            outs["kl_w"] = (
+                                half_kl(~iss_s) * (mlw_s * ~iss_s).max()
+                                + half_kl(iss_s) * (mlw_s * iss_s).max())
+                        else:
+                            outs["kl"] = kl_row.sum() \
+                                / jnp.maximum(cnt_row.sum(), 1.0)
                     return new_state, a, outs
 
                 def zero_outs():
@@ -847,6 +925,9 @@ class Seq2SeqAgent(StreamMixin):
                     if cfg.agent_type == "advanced":
                         outs["adv_pm_mse"] = jnp.asarray(0.0,
                                                          jnp.float32)
+                    if cfg.agent_type == "mt":
+                        outs["kl_w" if combined else "kl"] = jnp.asarray(
+                            0.0, jnp.float32)
                     return outs
 
                 def real_step(carry, t):
@@ -1010,6 +1091,12 @@ class Seq2SeqAgent(StreamMixin):
                 adv_pm = outs["adv_pm_mse"].sum()
                 ml_loss = ml_loss + 10.0 * adv_pm
                 logs["pm_loss"] = adv_pm
+            if cfg.agent_type == "mt":
+                # combined: kl_w already carries ml_scalar/pass_b per
+                # half; split: rides ml_weight/batch (agent_mt.py:871)
+                kl_total = outs["kl_w" if combined else "kl"].sum()
+                ml_loss = ml_loss + kl_total
+                logs["kl_loss"] = kl_total
             total_loss = ml_loss if combined else ml_weight * ml_loss / batch
             logs["ml_loss"] = ml_loss
 

@@ -231,6 +231,7 @@ class StreamMixin:
             INIT_SALT,
             _entropy,
             make_step_inputs,
+            mt_kl_rows,
         )
         from dasa_tpu.env.device_env import device_obs, device_transition
         from dasa_tpu.models import DasaPolicy, DecoderState
@@ -449,6 +450,17 @@ class StreamMixin:
                 if cfg.agent_type == "advanced":
                     pp = aux["pred_progress"].astype(jnp.float32)
                     outs["adv_sq"] = (pp - pm_target_tab[slot_ep]) ** 2
+                if cfg.agent_type == "mt":
+                    # soft-distance KL over the teacher half's live rows
+                    # (agent_mt.py:712-718); per-step local mean —
+                    # stream-regime normalization, like pm above
+                    kl_row, cnt_row = mt_kl_rows(
+                        logp, sobs["teacher"], sobs["cand_point_id"],
+                        sobs["cand_n"],
+                        real & ml_rows & (sobs["teacher"]
+                                          < sobs["cand_n"]))
+                    outs["kl"] = kl_row.sum() \
+                        / jnp.maximum(cnt_row.sum(), 1.0)
                 if record:
                     outs["rec_action"] = a_rec
                     outs["rec_node"] = node
@@ -524,6 +536,10 @@ class StreamMixin:
                 adv = (outs["adv_sq"] * mlm).sum()
                 ml_loss = ml_loss + 10.0 * adv
                 logs["pm_loss"] = allsum(adv / n_ml)
+            if cfg.agent_type == "mt":
+                kl_total = outs["kl"].sum()
+                ml_loss = ml_loss + kl_total
+                logs["kl_loss"] = allsum(kl_total / n_ml)
             total_loss = ml_w * ml_loss / n_ml
             logs["ml_loss"] = allsum(ml_loss / n_ml)
 
@@ -728,6 +744,8 @@ class StreamMixin:
                 "consumed", "leftover", "starved", "n_eps"]
         if cfg.pred_pm or cfg.agent_type == "advanced":
             keys.append("pm_loss")
+        if cfg.agent_type == "mt":
+            keys.append("kl_loss")
         if record:
             keys += ["rec_action", "rec_node", "rec_view", "rec_uid",
                      "rec_take", "rec_real", "rec_done", "rec_trunc",
@@ -941,7 +959,7 @@ class StreamMixin:
         # the mean episode length without a per-window sync
         self.logs["stream_consumed"].append(logs["consumed"])
         for k2 in ("forth_loss", "entropy", "ml_loss", "rl_loss",
-                   "critic_loss", "total", "loss", "pm_loss"):
+                   "critic_loss", "total", "loss", "pm_loss", "kl_loss"):
             if k2 in logs:
                 self.logs[k2].append(logs[k2])
         self.losses.append(logs["loss"])

@@ -328,6 +328,14 @@ class Config:
         if self.prng_impl not in ("threefry", "rbg", "unsafe_rbg"):
             raise ValueError(f"prng_impl must be threefry|rbg|"
                              f"unsafe_rbg, got {self.prng_impl!r}")
+        if self.agent_type == "mt" and not (
+                self.include_vision and self.encoder_type == "Dic"):
+            # the MT decoder reads the DicEncoder's per-view BERT tokens
+            # (v_emb; model.py:1688) — no other encoder produces them
+            raise ValueError(
+                "agent_type='mt' requires encoder_type='Dic' with "
+                "include_vision=True (the MT decoder consumes the "
+                "vision-BERT view tokens)")
         if not self.connectivity_dir:
             object.__setattr__(self, "connectivity_dir",
                                _default_connectivity_dir())

@@ -318,8 +318,9 @@ class DasaPolicy(nn.Module):
         cand = jnp.concatenate([cand_vis, c_ang], axis=-1)
         if cfg.adain_type == "default":
             return inputs._replace(f_t=df_t, cand_feat=cand)
-        return StepInputs(inputs.action_feat, inputs.f_t, df_t, cand,
-                          inputs.cand_dfeat, inputs.cand_mask)
+        # _replace keeps the passthrough fields (cand_mask, cand_idx —
+        # the MT decoder's view-token gather) intact
+        return inputs._replace(d_t=df_t, cand_feat=cand)
 
     def decode_step(self, inputs: StepInputs, state: DecoderState,
                     ctx, ctx_mask, *, deterministic: bool = True,
@@ -375,8 +376,8 @@ class DasaPolicy(nn.Module):
             cand_d = noised(inputs.cand_dfeat)
         else:
             d_t, cand_d = inputs.d_t, inputs.cand_dfeat
-        return StepInputs(inputs.action_feat, f_t, d_t, cand, cand_d,
-                          inputs.cand_mask)
+        return inputs._replace(f_t=f_t, d_t=d_t, cand_feat=cand,
+                               cand_dfeat=cand_d)
 
     def percept_step(self, cached: Dict[str, jnp.ndarray], valid_mask,
                      seq_len, inputs: StepInputs, *,

@@ -225,7 +225,8 @@ def train(cfg: Config, world: Optional[World] = None,
         timer.step()
 
         total = max(sum(agent.logs.get("total", [])), 1)
-        for tag in ("loss", "ml_loss", "forth_loss", "rl_loss"):
+        for tag in ("loss", "ml_loss", "forth_loss", "rl_loss",
+                    "pm_loss", "kl_loss"):
             vals = agent.logs.get(tag, [])
             if vals:
                 writer.add_scalar(f"loss/{tag}", float(np.mean(vals)), it)

@@ -75,3 +75,24 @@ def all_point_angle_feature(angle_feat_size: int = 4) -> np.ndarray:
     return np.stack(
         [point_angle_feature(b, angle_feat_size) for b in range(NUM_VIEWS)], axis=0
     )
+
+
+def view_rel_weight_table() -> np.ndarray:
+    """(36, 36) angular-proximity weights W[target, view] = -4 * ||rel||
+    used by the MT agent's soft-distance KL target (reference
+    ViewHelper.get_target_rel_weight, r2r_src/utils.py:693-702; the
+    abs-angle sweep at 676-691 equals the closed form above).
+
+    Replicates the reference arithmetic EXACTLY, including its one-sided
+    heading wraparound: rel = min(|abs - base|, |[0, 2pi] - (abs - base)|)
+    per component, which wraps only positive heading differences (a
+    negative difference beyond pi keeps its raw magnitude).  The table
+    is a loss-shaping prior, so fidelity beats symmetry here.
+    """
+    ix = np.arange(NUM_VIEWS)
+    abs_ang = np.stack([view_elevation(ix), view_heading(ix)],
+                       axis=-1).astype(np.float64)         # (36, 2)
+    diff = abs_ang[None, :, :] - abs_ang[:, None, :]       # (tgt, view, 2)
+    round_point = np.array([0.0, 2.0 * math.pi])
+    rel = np.minimum(np.abs(diff), np.abs(round_point - diff))
+    return (-4.0 * np.sqrt((rel * rel).sum(-1))).astype(np.float32)

@@ -432,6 +432,10 @@ def test_variant_agents_train_and_eval(world, connectivity_dir,
     assert np.isfinite(agent.losses).all()
     if agent_type == "advanced":
         assert np.isfinite(agent.logs["pm_loss"]).all()
+    if agent_type == "mt":
+        # the soft-distance KL term (agent_mt.py:712-718) is live
+        kl = np.asarray(agent.logs["kl_loss"], np.float64)
+        assert kl.size and np.isfinite(kl).all() and (kl > 0).any()
     results = agent.test(feedback="argmax")
     assert len(results) == env.size()
 

@@ -86,6 +86,10 @@ def make_agent(world, cfg, connectivity_dir, seed=7):
     # (lax.cond + gather) compiles in and must stay exact whichever
     # branch fires
     {"max_action": 16, "batch_size": 4},
+    # the MT agent's soft-distance KL term: combined computes it as
+    # per-half means x the half's ml row weight — must equal the split
+    # programs' per-pass means (incl. through the segmented tail)
+    {"agent_type": "mt", "max_action": 14},
 ])
 def test_combined_matches_split_pass_sum(world, connectivity_dir, extra):
     """grads(combined 2B program) == grads(teacher pass) + grads(argmax

@@ -325,3 +325,71 @@ def test_dg_ada_channel_forward_parity(ref):
                      is_test=True)
     np.testing.assert_allclose(np.asarray(f_out), t_out.numpy(),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_mt_distance_kl_parity(ref):
+    """The MT agent's soft-distance KL pieces match the reference:
+    view_rel_weight_table == ViewHelper.get_target_rel_weight for every
+    target (utils.py:693-702, via the FakeSim-built VHelper), and
+    mt_kl_rows reproduces the agent_mt KL arithmetic — masked-weight
+    softmax target, boolean element selection, F.kl_div 'mean'
+    (agent_mt.py:712-718; get_distance_weight utils.py:703-713 minus
+    its .cuda())."""
+    import utils as ref_utils
+
+    from dasa_tpu.agents.seq2seq import mt_kl_rows
+    from dasa_tpu.utils.angles import view_rel_weight_table
+
+    table = view_rel_weight_table()
+    for t in range(36):
+        np.testing.assert_allclose(
+            table[t], ref_utils.VHelper.get_target_rel_weight(t),
+            rtol=1e-5, atol=1e-6)
+
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(0)
+    Bk, K = 6, 7
+    cand_n = rng.integers(1, K, size=Bk).astype(np.int32)
+    cand_view = rng.integers(0, 36, size=(Bk, K)).astype(np.int32)
+    # mostly real teacher moves; row 0 STOP (== cand_n, the reference's
+    # ignoreid case) and row 1 ended — both must drop from the KL
+    teacher = (rng.integers(0, 100, size=Bk)
+               % np.maximum(cand_n, 1)).astype(np.int32)
+    teacher[0] = cand_n[0]
+    active = np.ones(Bk, bool)
+    active[1] = False
+    logits = rng.normal(size=(Bk, K)).astype(np.float32)
+    slots = np.arange(K)[None, :]
+    masked = np.where(slots > cand_n[:, None], -1e9, logits)
+    logp = (masked - np.log(np.exp(
+        masked - masked.max(-1, keepdims=True)).sum(-1, keepdims=True))
+        - masked.max(-1, keepdims=True)).astype(np.float32)
+    has_action = active & (teacher < cand_n)
+
+    # --- reference arithmetic (agent_mt.py:712-718) -------------------
+    candidate_idx = np.where(slots < cand_n[:, None], cand_view, -1)
+    tv = np.where(has_action,
+                  np.take_along_axis(
+                      cand_view, np.minimum(teacher, K - 1)[:, None],
+                      axis=1)[:, 0], -100)
+    rows = []
+    for t_id, c_ids in zip(tv, candidate_idx):
+        w = ref_utils.VHelper.get_target_rel_weight(int(t_id))
+        rows.append(w[c_ids])  # -1 wraps, masked_fill overrides below
+    r = torch.from_numpy(np.array(rows))
+    r.masked_fill_(torch.from_numpy(candidate_idx) == -1, -100000)
+    tgt = torch.softmax(r, -1)
+    has = torch.from_numpy(has_action)
+    ci = torch.from_numpy(candidate_idx)
+    sel_logp = torch.from_numpy(logp)[has][ci[has] != -1]
+    sel_tgt = tgt[has][ci[has] != -1]
+    kl_ref = F.kl_div(sel_logp.double(), sel_tgt.double(),
+                      reduction="mean").item()
+
+    kl_row, cnt_row = mt_kl_rows(
+        jnp.asarray(logp), jnp.asarray(teacher), jnp.asarray(cand_view),
+        jnp.asarray(cand_n), jnp.asarray(has_action))
+    ours = float(kl_row.sum() / max(float(cnt_row.sum()), 1.0))
+    assert float(cnt_row.sum()) == int((ci[has] != -1).sum())
+    np.testing.assert_allclose(ours, kl_ref, rtol=1e-4, atol=1e-6)

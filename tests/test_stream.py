@@ -429,13 +429,16 @@ def test_stream_mesh_trajectories_and_exactness(world,
     agent.optim_step()  # replicated psum'd grads apply cleanly
 
 
-@pytest.mark.parametrize("cfg_kw", [
-    dict(pred_pm=True, pm_type="v1", pred_back=True),
-    dict(agent_type="advanced"),
+@pytest.mark.parametrize("cfg_kw,aux_key", [
+    (dict(pred_pm=True, pm_type="v1", pred_back=True), "pm_loss"),
+    (dict(agent_type="advanced"), "pm_loss"),
+    (dict(agent_type="mt"), "kl_loss"),
 ])
-def test_stream_aux_heads_train(world, connectivity_dir, cfg_kw):
+def test_stream_aux_heads_train(world, connectivity_dir, cfg_kw,
+                                aux_key):
     """The stream program's auxiliary-loss branches (progress monitor,
-    back head, advanced agent) run and produce finite losses/grads."""
+    back head, advanced agent, MT soft-distance KL) run and produce
+    finite losses/grads."""
     cfg = tiny_cfg(**cfg_kw)
     env = make_env(world, cfg, connectivity_dir)
     data_dir, feature_db, tok = world
@@ -446,7 +449,7 @@ def test_stream_aux_heads_train(world, connectivity_dir, cfg_kw):
         agent.accumulate_gradient("sample")
         agent.optim_step()
         assert np.isfinite(float(np.asarray(agent.losses[-1])))
-        assert np.isfinite(float(np.asarray(agent.logs["pm_loss"][-1])))
+        assert np.isfinite(float(np.asarray(agent.logs[aux_key][-1])))
 
 
 def test_stream_eval_matches_episodic_device_eval(world,
