@@ -131,3 +131,55 @@ def test_speaker_decoder_multiplier(world):
                            jnp.repeat(ctx_mask, m, 0), h0, h0)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_manual),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_make_aug_paths_generator(world, connectivity_dir,
+                                  tmp_path_factory):
+    """scripts/make_aug_paths.py produces a loadable speaker-annotated
+    aug split: new shortest paths only (none from train), valid hop
+    structure, non-empty instructions, consumable by the aug loader.
+    (The reference only DOWNLOADS aug_paths.json; generation is the
+    speaker-follower package's role — tasks/R2R/speaker/ — closed here
+    by the dasa_tpu speaker.)"""
+    import json
+    import os
+
+    from scripts.make_aug_paths import main as gen_main
+
+    from dasa_tpu.data.datasets import make_synthetic_task
+    from dasa_tpu.sim.graph import load_scan_graph
+
+    data_dir = str(tmp_path_factory.mktemp("augtask"))
+    make_synthetic_task(data_dir, [SCAN], [SCAN], n_train=8, n_val=2,
+                        connectivity_dir=connectivity_dir)
+    out = os.path.join(data_dir, "R2R_aug_gen.json")
+    items = gen_main([
+        "--out", out, "--n_per_scan", "5",
+        "--min_hops", "3", "--max_hops", "5",
+        "--data_dir", data_dir, "--connectivity_dir", connectivity_dir,
+        "--batch_size", "4", "--rnn_dim", "32", "--wemb", "16",
+        "--aemb", "8", "--angle_feat_size", "8",
+        "--feature_size", str(DIM), "--max_input", str(L),
+        "--max_decode", str(L), "--max_action", "8"])
+    assert len(items) == 5
+    with open(out) as f:
+        written = json.load(f)
+    assert written == items
+
+    train = load_datasets(["train"], data_dir)
+    train_paths = {(it["scan"], tuple(it["path"])) for it in train}
+    g = load_scan_graph(SCAN, connectivity_dir)
+    adj = g.nav_adjacency()
+    ix = {vid: i for i, vid in enumerate(g.ids)}
+    for it in items:
+        assert (it["scan"], tuple(it["path"])) not in train_paths
+        assert 4 <= len(it["path"]) <= 6      # hops+1
+        for a, b in zip(it["path"], it["path"][1:]):
+            assert adj[ix[a], ix[b]], (a, b)  # consecutive hops adjacent
+        assert it["instructions"][0]          # loadable by the tokenizer
+
+    # the generated split feeds the aug pipeline
+    vocab = build_vocab(train, min_count=1)
+    tok2 = Tokenizer(vocab, encoding_length=L)
+    expanded = expand_instructions(items, tok2, max_input=L)
+    assert len(expanded) == len(items)
