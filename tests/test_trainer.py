@@ -94,3 +94,25 @@ def test_speaker_trainer_mode(data_dir, tmp_path):
     out = trainer.valid_speaker(vcfg)
     assert "val_seen" in out
     assert 0.0 <= out["val_seen"]["bleu"] <= 1.0
+
+
+def test_listener_stream_train_and_validate(data_dir, tmp_path):
+    """rollout_mode=stream through the FULL trainer path: streamed
+    training windows (org env), streamed validation (stream_test_loop
+    fills results for every val item), checkpointing, and a submit-able
+    score — the trainer-level seam the agent-level stream tests skip."""
+    cfg = tiny_cfg(data_dir, str(tmp_path), name="t_stream",
+                   rollout_mode="stream", stream_steps=5,
+                   encoder_type="Dic", include_vision=True)
+    agent = trainer.train(cfg)
+    assert agent.use_stream_rollout()
+    assert agent.iter_count >= 2
+    assert len(agent.logs["stream_consumed"])  # windows really streamed
+    ckpt = os.path.join(cfg.snap_dir, cfg.name, "state_dict",
+                        "LAST_iter4")
+    assert os.path.exists(ckpt)
+    vcfg = cfg.replace(load=ckpt)
+    out = trainer.valid(vcfg)
+    for env_name in ("val_seen", "val_unseen"):
+        assert 0.0 <= out[env_name]["success_rate"] <= 1.0
+        assert np.isfinite(out[env_name]["nav_error"])
