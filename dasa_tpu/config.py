@@ -297,22 +297,21 @@ class Config:
         # members whose architectures reduce to stacks we already build
         # (docs/DATA_LIMITS.md): VicModel is DicModel with the full
         # 12-layer text stack and no vision-only layers
-        # (vilmodel.py:1098-1243); BertLang/HugLang are the text-BERT ->
-        # top-LSTM path (r2rmodel.py:1906-2040 == BEncoder); BertMix/
-        # HugAdd add cross layers after the text BERT
-        # (r2rmodel.py:1755-1904 == BertAdd).
+        # (vilmodel.py:1098-1243); HugLang is the text-BERT -> top-LSTM
+        # path (r2rmodel.py:814-900 == BEncoder); BertLang/HugAdd fuse
+        # vision through joint add-layers with the image rows KEPT in
+        # ctx (r2rmodel.py:1906-2061, 1331-1461 == BertAdd); BertMix is
+        # its own type (BertAddEncoder with strip_vision_ctx=True —
+        # image rows dropped after fusion, r2rmodel.py:1776).
         et = {"DicEncoder": "Dic", "VicEncoder": "Vic",
-              "HugLang": "BertLang", "HugAdd": "BertMix",
+              "HugLang": "BEncoder", "HugAdd": "BertAdd",
+              "BertLang": "BertAdd",
               "vlbert": "BertImg"}.get(self.encoder_type,
                                        self.encoder_type)
         if et == "Vic":
             et = "Dic"
             object.__setattr__(self, "d_la_layers", 12)
             object.__setattr__(self, "d_v_layers", 0)
-        elif et == "BertLang":
-            et = "BEncoder"
-        elif et == "BertMix":
-            et = "BertAdd"
         object.__setattr__(self, "encoder_type", et)
         if self.remat not in ("never", "percept", "dots", "auto",
                               "always"):

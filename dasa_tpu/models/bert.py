@@ -318,13 +318,28 @@ class DicModel(nn.Module):
         self.vision_encoder = VisionEncoder(cfg, self.dtype)
         self.pooler = BertPooler(cfg, self.dtype)
 
-    def text_forward(self, input_ids, att_mask, *, deterministic=True):
+    def text_forward(self, input_ids, att_mask, *, deterministic=True,
+                     collect_last_n: int = 1):
         """Embeddings + la_layers text-only self-attention.  att_mask is
-        (B, L) with 1 = attend."""
+        (B, L) with 1 = attend.
+
+        collect_last_n > 1 returns the channel-concat of the last n
+        layer outputs (the legacy zoo's ``bert_n_layers`` feature-mixing
+        knob, r2rmodel.py:772-773 ``torch.cat(all_encoder_layers[-n:],
+        -1)``) — no extra parameters, so checkpoint import is
+        unaffected."""
         bias = extended_attention_mask(att_mask, self.dtype)
         x = self.embeddings(input_ids, deterministic=deterministic)
+        collected = []
         for layer in self.lalayer:
             x = layer(x, bias, deterministic=deterministic)
+            collected.append(x)
+        if collect_last_n > 1:
+            if collect_last_n > len(collected):
+                raise ValueError(
+                    f"collect_last_n={collect_last_n} exceeds "
+                    f"la_layers={len(collected)}")
+            x = jnp.concatenate(collected[-collect_last_n:], axis=-1)
         if not self.config.update_lang_bert:
             x = jax.lax.stop_gradient(x)
         return x

@@ -77,13 +77,16 @@ class BertTextEncoderLSTM(nn.Module):
     bidirectional: bool = True
     sub_out: str = "tanh"
     zero_init: bool = False
+    n_layer_concat: int = 1   # bert_n_layers: concat last-n layer
+                              # outputs before the LSTM (r2rmodel.py:772)
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, inputs, valid_mask, *, deterministic: bool = True):
         bert = DicModel(self.bert_config, self.dtype, name="bert")
         x = bert.text_forward(inputs, valid_mask.astype(jnp.int32),
-                              deterministic=deterministic)
+                              deterministic=deterministic,
+                              collect_last_n=self.n_layer_concat)
         if self.project_dim is not None:
             x = nn.Dense(self.project_dim, dtype=self.dtype,
                          name="linear_in")(x)

@@ -23,9 +23,16 @@ capabilities:
   AFTER the text encoder, which makes the text stack cacheable per
   episode exactly like DicModel).
 
-The Multi* three-sentence variants and the remaining zoo members
-(HugLang/HugAdd/BertMix/BertLang/Vic) are checkpoint-format duplicates
-of these four and are intentionally not rebuilt (docs/DATA_LIMITS.md).
+``BertMix`` (r2rmodel.py:1755-1904) is BertAddEncoder with
+``strip_vision_ctx=True`` — the fused image rows are dropped so ctx
+spans text tokens only.  The remaining zoo members reduce to stacks
+above and are dispatched as config aliases (config.py __post_init__):
+``Vic`` = DicModel with the full 12-layer text stack and no
+vision-only layers (vilmodel.py:1098-1243), ``BertLang``/``HugAdd`` =
+BertAdd (joint ctx kept, r2rmodel.py:1906-2061/1331-1461), ``HugLang``
+= the text-BERT->LSTM ``BEncoder`` path.  The Multi* three-sentence
+variants live in models/encoder.py (MultiDicEncoder).  See
+docs/DATA_LIMITS.md for the checkpoint-format duplication argument.
 """
 
 from __future__ import annotations
@@ -174,7 +181,14 @@ class BertAddEncoder(nn.Module):
     (vilmodel.py:858-1010).  Unlike BertImg, the text stack sees no
     vision, so it caches per episode exactly like DicModel; the small
     joint stack re-runs per step.  Joint-sequence ``ctx`` like
-    BertImgEncoder."""
+    BertImgEncoder.
+
+    ``strip_vision_ctx=True`` is the **BertMix** variant
+    (r2rmodel.py:1755-1904): identical fusion, but the image rows are
+    dropped after the joint layers (r2rmodel.py:1776 ``outputs[0][:,
+    img_seq_len:]``) so ``ctx`` and the top LSTM span the text tokens
+    only — the decoder attends language-only context that has been
+    vision-contextualized."""
 
     bert_config: BertConfig
     hidden_size: int
@@ -182,6 +196,7 @@ class BertAddEncoder(nn.Module):
     dropout_ratio: float
     bidirectional: bool = True
     n_vision_tokens: int = 36
+    strip_vision_ctx: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -216,6 +231,12 @@ class BertAddEncoder(nn.Module):
         for layer in self.add_layers:
             joint = layer(joint, bias, deterministic=deterministic)
         visn = joint[:, :self.n_vision_tokens]
-        ctx, decoder_init, c_t = self.tail(
-            joint, joint_valid, deterministic=deterministic)
+        if self.strip_vision_ctx:
+            # BertMix: ctx = fused TEXT rows only (r2rmodel.py:1776)
+            text_rows = joint[:, img.shape[1]:]
+            ctx, decoder_init, c_t = self.tail(
+                text_rows, valid_mask, deterministic=deterministic)
+        else:
+            ctx, decoder_init, c_t = self.tail(
+                joint, joint_valid, deterministic=deterministic)
         return ctx, decoder_init, c_t, None, visn

@@ -34,8 +34,10 @@ from dasa_tpu.models.encoder import (
 PLAIN_ENCODERS = ("EncoderLSTM", "BEncoder", "CEncoder", "Transformer",
                   "Gpt")
 # legacy single-stream encoders whose ctx spans the joint
-# [36 vision; L text] token sequence (models/legacy.py)
+# [36 vision; L text] token sequence (models/legacy.py); BertMix runs
+# the same fusion but strips the image rows, so its ctx is text-only
 JOINT_CTX_ENCODERS = ("BertImg", "BertAdd")
+LEGACY_CROSS_ENCODERS = ("BertImg", "BertAdd", "BertMix")
 
 
 class StepInputs(NamedTuple):
@@ -120,7 +122,8 @@ class DasaPolicy(nn.Module):
                 project_dim=(cfg.wemb if cfg.encoder_type == "CEncoder"
                              else None),
                 bidirectional=cfg.bidir, sub_out=cfg.sub_out,
-                zero_init=cfg.zero_init, dtype=self.dtype)
+                zero_init=cfg.zero_init,
+                n_layer_concat=cfg.d_bert_n_layers, dtype=self.dtype)
             self.decoder = AttnDecoderLSTM(
                 cfg.aemb, cfg.rnn_dim, cfg.dropout, cfg.featdropout,
                 feature_all, cfg.angle_feat_size, ctx_dim=cfg.rnn_dim,
@@ -163,19 +166,26 @@ class DasaPolicy(nn.Module):
                 max_input=cfg.max_input, dtype=self.dtype)
             dec_hidden = mh
         else:  # cross-modal path (Dic + legacy single-stream encoders)
-            if cfg.encoder_type in JOINT_CTX_ENCODERS:
+            if cfg.encoder_type in LEGACY_CROSS_ENCODERS:
                 from dasa_tpu.models.legacy import (
                     BertAddEncoder,
                     BertImgEncoder,
                 )
 
-                enc_cls = (BertImgEncoder if cfg.encoder_type == "BertImg"
-                           else BertAddEncoder)
-                self.encoder = enc_cls(
-                    bert_config_from(cfg), cfg.d_enc_hidden_size,
-                    cfg.d_hidden_size, cfg.d_dropout_ratio,
-                    bidirectional=cfg.d_bidirectional,
-                    n_vision_tokens=cfg.views, dtype=self.dtype)
+                if cfg.encoder_type == "BertImg":
+                    self.encoder = BertImgEncoder(
+                        bert_config_from(cfg), cfg.d_enc_hidden_size,
+                        cfg.d_hidden_size, cfg.d_dropout_ratio,
+                        bidirectional=cfg.d_bidirectional,
+                        n_vision_tokens=cfg.views, dtype=self.dtype)
+                else:
+                    self.encoder = BertAddEncoder(
+                        bert_config_from(cfg), cfg.d_enc_hidden_size,
+                        cfg.d_hidden_size, cfg.d_dropout_ratio,
+                        bidirectional=cfg.d_bidirectional,
+                        n_vision_tokens=cfg.views,
+                        strip_vision_ctx=cfg.encoder_type == "BertMix",
+                        dtype=self.dtype)
             else:
                 self.encoder = DicEncoder(
                     bert_config_from(cfg), cfg.d_enc_hidden_size,

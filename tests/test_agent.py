@@ -370,6 +370,29 @@ def test_bc_encoder_types(world, connectivity_dir, encoder_type):
     assert len(results) == env.size()
 
 
+def test_bencoder_n_layer_concat(world, connectivity_dir):
+    """--d_bert_n_layers > 1 concatenates the last n text-BERT layer
+    outputs before the top LSTM (the legacy zoo's bert_n_layers knob,
+    r2rmodel.py:772-773 / 754: LSTM input sized hidden*n).  The LSTM
+    input width must reflect the concat, and the whole path trains."""
+    cfg = tiny_cfg(encoder_type="BEncoder", max_action=4, batch_size=2,
+                   update_bert=False, d_la_layers=2, d_bert_n_layers=2)
+    data_dir, feature_db, depth_db, tok = world
+    env, _ = make_env(world, cfg, "train", connectivity_dir)
+    agent = Seq2SeqAgent(cfg, env, feature_db, vocab_size=len(tok))
+    import jax
+
+    lstm = agent.params["params"]["encoder"]["lstm"]
+    # some LSTM weight must take the 768*2-wide concat as input
+    widths = {v.shape[0] for v in jax.tree_util.tree_leaves(lstm)
+              if hasattr(v, "shape") and v.ndim == 2}
+    assert (2 * 768) in widths, sorted(widths)
+    agent.zero_grad()
+    agent.accumulate_gradient("sample")
+    agent.optim_step()
+    assert np.isfinite(agent.losses).all()
+
+
 @pytest.mark.parametrize("cfg_kw", [
     {},  # plain EncoderLSTM path
     # flagship DASA config: Dic encoder + AdaIN channel + consistent drop
@@ -441,13 +464,16 @@ def test_variant_agents_train_and_eval(world, connectivity_dir,
 
 
 @pytest.mark.parametrize("encoder_type", ["Transformer", "Gpt",
-                                          "BertImg", "BertAdd"])
+                                          "BertImg", "BertAdd",
+                                          "BertMix"])
 def test_legacy_encoder_types(world, connectivity_dir, encoder_type):
     """Legacy encoder zoo (models/legacy.py; reference r2rmodel.py
-    352-456, 559-634, 999-1124, 1172-1331): each --encoderType trains a
-    mixed IL+RL step and covers the split under argmax eval.
-    Transformer/Gpt run the plain once-per-episode path; BertImg/BertAdd
-    run the cross-modal per-step path with a joint [vision; text] ctx."""
+    352-456, 559-634, 999-1124, 1172-1331, 1755-1904): each
+    --encoderType trains a mixed IL+RL step and covers the split under
+    argmax eval.  Transformer/Gpt run the plain once-per-episode path;
+    BertImg/BertAdd run the cross-modal per-step path with a joint
+    [vision; text] ctx; BertMix fuses the same way but strips the image
+    rows so ctx is text-only."""
     kw = dict(encoder_type=encoder_type, max_action=4, batch_size=2)
     if encoder_type in ("Transformer", "Gpt"):
         kw.update(legacy_width=16, legacy_heads=2, legacy_layers=1)

@@ -88,9 +88,13 @@ def test_encoder_type_aliases():
     c = Config(encoder_type="VicEncoder")
     assert c.encoder_type == "Dic" and c.d_la_layers == 12 \
         and c.d_v_layers == 0
-    assert Config(encoder_type="BertLang").encoder_type == "BEncoder"
+    # BertLang/HugAdd keep the fused image rows in ctx == BertAdd
+    # (r2rmodel.py:1906-2061, 1331-1461); HugLang is text-only
+    # (r2rmodel.py:814-900); BertMix strips the image rows after fusion
+    # and is its own type (r2rmodel.py:1776)
+    assert Config(encoder_type="BertLang").encoder_type == "BertAdd"
     assert Config(encoder_type="HugLang").encoder_type == "BEncoder"
-    assert Config(encoder_type="BertMix").encoder_type == "BertAdd"
+    assert Config(encoder_type="BertMix").encoder_type == "BertMix"
     assert Config(encoder_type="HugAdd").encoder_type == "BertAdd"
     assert Config(encoder_type="vlbert").encoder_type == "BertImg"
     assert Config(encoder_type="DicEncoder").encoder_type == "Dic"
