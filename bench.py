@@ -79,7 +79,36 @@ def analytic_flops_per_agent_step(cfg, avg_episode_len: float) -> float:
     return per_step * 2 * 3  # MACs->FLOPs, forward + ~2x backward
 
 
+def _probe_backend(timeout_s: float) -> None:
+    """Fail FAST if the axon tunnel is unreachable instead of blocking
+    forever: when the TPU service is down, even ``jax.devices()`` hangs
+    indefinitely in-process (observed 4h+ outages — BENCH_NOTES.md), so
+    probe it in a subprocess with a hard timeout before committing this
+    process to backend init."""
+    import subprocess
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); "
+             "print(d[0].platform, len(d))"],
+            check=True, timeout=timeout_s, capture_output=True)
+    except subprocess.TimeoutExpired:
+        print(f"bench: TPU backend unreachable (no jax.devices() within "
+              f"{timeout_s:.0f}s — axon tunnel down?).  Re-run when the "
+              f"service is back, or DASA_BENCH_CPU=1 for a CPU smoke.",
+              file=sys.stderr)
+        sys.exit(3)
+    except subprocess.CalledProcessError as e:  # pragma: no cover
+        print(f"bench: backend probe failed: {e.stderr.decode()[-500:]}",
+              file=sys.stderr)
+        sys.exit(3)
+
+
 def main():
+    if os.environ.get("DASA_BENCH_CPU") != "1":
+        _probe_backend(float(os.environ.get(
+            "DASA_BENCH_PROBE_TIMEOUT", "150")))
     if os.environ.get("DASA_BENCH_CPU") == "1":
         # force CPU before first backend use (env vars alone lose to
         # sitecustomize's axon registration; with the axon service
