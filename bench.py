@@ -3,8 +3,12 @@
 
 Runs the full-size DASA config (reference README.md:82-98) at batchSize
 20 on synthetic features over real connectivity graphs, times steady-
-state optimizer iterations (teacher + sample rollout, grad accumulation,
-RMSProp update) over THREE windows, and prints ONE JSON line:
+state optimizer iterations over THREE windows, and prints ONE JSON
+line.  The default regime is the streamed (continuous-batching)
+training window — mixed teacher-ML + sampled-RL slots, grad
+accumulation, RMSProp update, identical per-episode data/returns to
+the episodic path (tests/test_stream.py); DASA_BENCH_STREAM=0 times
+the episodic teacher+sample pair instead:
 
     {"metric": "agent_steps_per_sec", "value": N, "unit": "steps/s",
      "vs_baseline": N, "mfu": N, ...}
@@ -159,10 +163,13 @@ def main():
         prng_impl=os.environ.get("DASA_BENCH_PRNG", "rbg"),
         # continuous batching (agents/stream.py): every scan row stays
         # on a live episode; one optimizer window per iteration.
-        # DASA_BENCH_STREAM=0 for the episodic A/B; _STEPS/_POOL sweep
-        # the window length and per-half pool capacity (0 = auto).
+        # Headline default — measured 4593 steps/s (34x, 77% MFU) vs
+        # 1830 episodic on the same chip/fixture (BENCH_NOTES.md
+        # round-3 streaming table).  DASA_BENCH_STREAM=0 for the
+        # episodic A/B; _STEPS/_POOL sweep the window length and
+        # per-half pool capacity (0 = auto, the measured knee).
         rollout_mode=("stream"
-                      if os.environ.get("DASA_BENCH_STREAM", "0") == "1"
+                      if os.environ.get("DASA_BENCH_STREAM", "1") == "1"
                       else "episodic"),
         stream_steps=int(os.environ.get("DASA_BENCH_STREAM_STEPS", "0")),
         stream_pool=int(os.environ.get("DASA_BENCH_STREAM_POOL", "0")),
