@@ -1,0 +1,89 @@
+"""Smoke tests for the operational scripts.
+
+- scripts/plot_curves.py is the equivalent of the reference legacy
+  layer's plot tooling (tasks/R2R/plot.py:20-129): loss / nav-error /
+  success panels from a run's logs.
+- scripts/check_real_data.py is the one-command real-data readiness
+  check (asset validation -> world -> validlistener -> SR/SPL); here it
+  runs end-to-end against the synthetic task fixture standing in for
+  mounted R2R assets.
+"""
+
+import json
+import os
+import sys
+
+import pytest
+
+from dasa_tpu.data.datasets import make_synthetic_task
+from dasa_tpu.data.features import FeatureDB
+
+SCAN = "17DRP5sb8fy"
+SCAN2 = "2t7WUuJeko7"
+
+
+@pytest.fixture(scope="module")
+def task_dir(connectivity_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("scripts_task"))
+    make_synthetic_task(d, [SCAN], [SCAN2], n_train=8, n_val=4,
+                        connectivity_dir=connectivity_dir)
+    return d
+
+
+def test_plot_curves(tmp_path, monkeypatch):
+    run = tmp_path / "run"
+    run.mkdir()
+    # metrics.jsonl rows in the shape train/metrics.py writes
+    with open(run / "metrics.jsonl", "w") as f:
+        for step in (10, 20, 30):
+            for tag, v in (
+                    ("loss/ml", 3.0 / step),
+                    ("metric/val_seen/nav_error", 9.0 - step / 10.0),
+                    ("metric/val_seen/success_rate", step / 100.0)):
+                f.write(json.dumps(
+                    {"tag": tag, "step": step, "value": v}) + "\n")
+
+    from scripts.plot_curves import load_series, main
+
+    series = load_series(str(run))
+    assert any("nav_error" in t for t in series)
+    assert any("success_rate" in t for t in series)
+
+    monkeypatch.setattr(sys, "argv", ["plot_curves.py", "--run",
+                                      str(run)])
+    main()
+    assert os.path.exists(run / "plots" / "training.png")
+    assert os.path.exists(run / "plots" / "error.png")
+
+
+def test_check_real_data_end_to_end(task_dir, connectivity_dir,
+                                    tmp_path, monkeypatch, capsys):
+    # stand-in for mounted features: a real on-disk .npz store
+    feats = FeatureDB.synthetic([SCAN, SCAN2], connectivity_dir, dim=16)
+    fpath = str(tmp_path / "feats.npz")
+    feats.save(fpath)
+
+    flags = ("--feature_size 16 --angleFeatSize 8 --wemb 16 --aemb 8 "
+             "--rnnDim 32 --critic_dim 32 --max_input 12 --maxAction 4 "
+             "--batchSize 4")
+    monkeypatch.setattr(sys, "argv", [
+        "check_real_data.py", "--data_dir", task_dir,
+        "--img_features", fpath, "--splits", "val_seen",
+        "--flags", flags])
+    from scripts.check_real_data import main
+
+    main()
+    out = capsys.readouterr().out
+    assert "assets: ok" in out
+    assert "READY" in out
+    assert "val_seen" in out
+
+
+def test_check_real_data_missing_assets(task_dir, tmp_path, monkeypatch):
+    monkeypatch.setattr(sys, "argv", [
+        "check_real_data.py", "--data_dir", str(tmp_path),
+        "--img_features", str(tmp_path / "nope.npz")])
+    from scripts.check_real_data import main
+
+    with pytest.raises(SystemExit):
+        main()
