@@ -11,6 +11,12 @@ Supported sources:
 - ``.npy`` pair  — reference mini/depth format: viewpointIds.npy keys +
                    values.npy (r2r_src/env.py:22-31, utils.py:289-295)
 - ``.tsv``       — reference base64 TSV (utils.py:272-312)
+- bottom-up dir  — reference h5 bottom-up store: one ``<scan>/<vp>.h5``
+                   per viewpoint, 36 view groups of (boxes, dim) region
+                   features mean-pooled per view
+                   (tasks/R2R/feature.py:89-116)
+- ``a+b``        — per-viewpoint feature concatenation of two stores
+                   (tasks/R2R/feature.py:27-46, ResNet+bottom-up)
 - synthetic      — deterministic per-viewpoint random features so the
                    full stack runs without the 4 GB feature downloads
 """
@@ -128,6 +134,54 @@ class FeatureDB:
             return FeatureDB(ids, values)
 
     @staticmethod
+    def from_bottom_up(root: str, views: int = 36) -> "FeatureDB":
+        """Bottom-up-attention h5 store (tasks/R2R/feature.py:89-116):
+        ``<root>/<scan>/<viewpoint>.h5`` with 36 groups keyed "0".."35",
+        each holding (num_boxes, dim) region ``features`` that are
+        mean-pooled into one vector per view."""
+        import os
+
+        import h5py
+
+        ids: List[str] = []
+        rows: List[np.ndarray] = []
+        for scan in sorted(os.listdir(root)):
+            folder = os.path.join(root, scan)
+            if not os.path.isdir(folder):
+                continue
+            for fname in sorted(os.listdir(folder)):
+                if not fname.endswith(".h5"):
+                    continue
+                with h5py.File(os.path.join(folder, fname), "r") as f:
+                    if len(f.keys()) != views:
+                        raise ValueError(
+                            f"{folder}/{fname}: expected {views} view "
+                            f"groups, got {len(f.keys())}")
+                    pooled = np.stack([
+                        np.asarray(f[str(v)]["features"][()],
+                                   np.float32).mean(0)
+                        for v in range(views)])
+                ids.append(f"{scan}_{fname[:-len('.h5')]}")
+                rows.append(pooled)
+        if not ids:
+            raise ValueError(f"no <scan>/<viewpoint>.h5 files under "
+                             f"{root}")
+        return FeatureDB(ids, np.stack(rows))
+
+    @staticmethod
+    def concat(a: "FeatureDB", b: "FeatureDB") -> "FeatureDB":
+        """Per-viewpoint feature concatenation over the shared long-ids
+        (tasks/R2R/feature.py:27-46 hstacks ResNet + bottom-up rows)."""
+        if a.views != b.views:
+            raise ValueError(f"view mismatch: {a.views} vs {b.views}")
+        ids = [i for i in a.ids if i in b.id2row]
+        if not ids:
+            raise ValueError("no shared viewpoint ids between stores")
+        rows_a = a.values[[a.id2row[i] for i in ids]]
+        rows_b = b.values[[b.id2row[i] for i in ids]]
+        return FeatureDB(ids, np.concatenate([rows_a, rows_b], axis=-1))
+
+    @staticmethod
     def synthetic(scans: Sequence[str], connectivity_dir: str,
                   dim: int = 2048, views: int = 36, salt: int = 0,
                   scale: float = 1.0) -> "FeatureDB":
@@ -168,4 +222,18 @@ def load_feature_db(path: Optional[str], scans: Sequence[str],
         return FeatureDB.from_npy_pair(base + "-index.npy", path)
     if path.endswith(".zip"):
         return FeatureDB.from_zip(path, views=views)
+    if "+" in path:
+        # composite store "a+b" (tasks/R2R/feature.py:27-46)
+        parts = path.split("+")
+        db = load_feature_db(parts[0], scans, connectivity_dir,
+                             dim=dim, views=views, salt=salt)
+        for part in parts[1:]:
+            db = FeatureDB.concat(db, load_feature_db(
+                part, scans, connectivity_dir, dim=dim, views=views,
+                salt=salt))
+        return db
+    import os
+
+    if os.path.isdir(path):
+        return FeatureDB.from_bottom_up(path, views=views)
     raise ValueError(f"unrecognized feature store: {path}")

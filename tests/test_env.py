@@ -232,3 +232,44 @@ def test_feature_db_zip_roundtrip(tmp_path, connectivity_dir):
     db3 = FeatureDB.from_zip(pair)
     assert db3.ids == db.ids
     np.testing.assert_allclose(db3.values, db.values)
+
+
+def test_feature_db_bottom_up_and_concat(tmp_path, connectivity_dir):
+    """Bottom-up h5 store (tasks/R2R/feature.py:89-116: per-view region
+    features mean-pooled) and the 'a+b' composite store
+    (feature.py:27-46 hstack)."""
+    h5py = pytest.importorskip("h5py")
+
+    db = FeatureDB.synthetic([SCAN], connectivity_dir, dim=8, views=4)
+    root = tmp_path / "bottom_up"
+    rng = np.random.default_rng(0)
+    for lid, pooled in zip(db.ids[:3], db.values[:3]):
+        scan, vp = lid.split("_")
+        (root / scan).mkdir(parents=True, exist_ok=True)
+        with h5py.File(root / scan / f"{vp}.h5", "w") as f:
+            for v in range(4):
+                # boxes whose mean is exactly the pooled row
+                boxes = pooled[v][None] + rng.standard_normal((3, 8)) * 0.1
+                boxes[2] = 3 * pooled[v] - boxes[0] - boxes[1]
+                f.create_group(str(v)).create_dataset(
+                    "features", data=boxes.astype(np.float32))
+    db2 = FeatureDB.from_bottom_up(str(root), views=4)
+    assert sorted(db2.ids) == sorted(db.ids[:3])
+    for lid in db.ids[:3]:
+        scan, vp = lid.split("_")
+        np.testing.assert_allclose(db2.get(scan, vp), db.get(scan, vp),
+                                   rtol=1e-4, atol=1e-5)
+
+    # composite "npz+bottom_up" through the dispatcher
+    npz = str(tmp_path / "a.npz")
+    db.save(npz)
+    combo = load_feature_db(f"{npz}+{root}", [SCAN], connectivity_dir,
+                            views=4)
+    assert combo.dim == 16
+    for lid in db.ids[:3]:
+        scan, vp = lid.split("_")
+        np.testing.assert_allclose(combo.get(scan, vp)[:, :8],
+                                   db.get(scan, vp))
+        np.testing.assert_allclose(combo.get(scan, vp)[:, 8:],
+                                   db2.get(scan, vp), rtol=1e-4,
+                                   atol=1e-5)
