@@ -232,10 +232,237 @@ def dijkstra_search(agent: Seq2SeqAgent, n_candidates: int = 1,
     return results
 
 
-def beam_search(agent: Seq2SeqAgent, speaker,
-                n_candidates: int = 1) -> List[dict]:
-    """Dijkstra search + speaker rescoring (agent_dg.py:1251-1310)."""
-    results = dijkstra_search(agent, n_candidates)
+def state_factored_search(agent: Seq2SeqAgent, completion_size: int = 1,
+                          successor_size: int = 4,
+                          max_expansions: int = 80) -> List[dict]:
+    """Physical-state-factored best-first search.
+
+    Reference: the speaker-follower package's ``state_factored_search``
+    (tasks/R2R/speaker/follower.py:720-980).  Unlike the Dijkstra search
+    above — which keys states by (viewpoint, arriving action) — this
+    search keeps at most ONE inference state per physical pose
+    ``(viewpoint, view_index)`` (the reference's ``first_n_ws_key=4``
+    world-state prefix), always the best-scoring path that reaches it.
+    Each round expands the top ``successor_size`` unexpanded poses per
+    episode in one batched decode pass per beam rank; successors that
+    emit STOP (or hit ``max_action`` steps, follower.py:891) enter a
+    completed-holding pool keyed the same way, and a held completion is
+    finalized when it is itself selected over the open frontier
+    (follower.py:908-924).  Terminates once every episode holds
+    ``completion_size`` completions or its frontier empties.
+
+    Output format matches :func:`dijkstra_search` (``paths`` with
+    trajectory / action / records / listener_scores, plus the
+    ``dijk_path`` exploration stitch — the reference's
+    ``traversed_lists``), so speaker rescoring and ``beam_valid``'s
+    score mixing work unchanged on top.
+    """
+    env = agent.env
+    cfg = agent.cfg
+    obs = env.reset()
+    batch = obs.batch_size()
+    step_fn = _search_fn(agent)
+
+    instr = jnp.asarray(obs.instr)
+    valid = jnp.asarray(~obs.pad_mask)
+    seq_len = jnp.asarray(obs.seq_len)
+    base_rng = jax.random.fold_in(agent._base_rng, agent._rollout_counter)
+    agent._rollout_counter += 1
+    cached = agent._encode_fn(False)(agent.params, instr, valid, seq_len,
+                                     base_rng)
+
+    start_vps = env.current_viewpoints()
+    results = [{
+        "scan": env.batch[i]["scan"],
+        "instr_id": env.batch[i]["instr_id"],
+        "instr_encoding": np.asarray(obs.instr[i]),
+        "dijk_path": [start_vps[i]],
+        "paths": [],
+    } for i in range(batch)]
+
+    from dasa_tpu.models.policy import decoder_state_width
+
+    dec_h = decoder_state_width(cfg)
+    zero_state = (np.zeros(dec_h, np.float32),) * 3
+
+    roots = [{
+        "next_viewpoint": start_vps[i],
+        "view_index": int(obs.view_index[i]),
+        "running_state": zero_state,
+        "is_first": True,
+        "parent": None,
+        "action": START_ACTION,
+        "lp": 0.0,
+        "n_actions": 0,
+        "score": 0.0,
+        "count": 0,
+        "record": None,
+    } for i in range(batch)]
+
+    def key_of(st):
+        return (st["next_viewpoint"], st["view_index"])
+
+    # per instance: pose -> [state, expanded?]  (follower.py:738-747)
+    cache = [{key_of(roots[i]): [roots[i], True]} for i in range(batch)]
+    holding: List[Dict[tuple, list]] = [{} for _ in range(batch)]
+    completed: List[Dict[tuple, dict]] = [{} for _ in range(batch)]
+    beams: List[List[dict]] = [[roots[i]] for i in range(batch)]
+
+    def stitch(i, vp):
+        g = env.graphs[results[i]["scan"]]
+        last = results[i]["dijk_path"][-1]
+        if last != vp:
+            hop = g.shortest_path(g.id2ix[last], g.id2ix[vp])
+            results[i]["dijk_path"].extend(g.ids[n] for n in hop[1:])
+
+    for _ in range(max_expansions):
+        if all(len(completed[i]) >= completion_size or not beams[i]
+               for i in range(batch)):
+            break
+        width = max(len(b) for b in beams)
+        # expand the whole beam, one fixed-shape decode per beam rank
+        for s in range(width):
+            rows = [beams[i][s] if s < len(beams[i]) else None
+                    for i in range(batch)]
+            if all(r is None for r in rows):
+                continue
+            for i in range(batch):
+                st = rows[i] or roots[i]
+                obs = env.teleport(i, st["next_viewpoint"],
+                                   st["view_index"])
+            h = jnp.asarray(np.stack(
+                [(rows[i] or roots[i])["running_state"][0]
+                 for i in range(batch)]), agent.dtype)
+            c = jnp.asarray(np.stack(
+                [(rows[i] or roots[i])["running_state"][1]
+                 for i in range(batch)]), agent.dtype)
+            h1 = jnp.asarray(np.stack(
+                [(rows[i] or roots[i])["running_state"][2]
+                 for i in range(batch)]), agent.dtype)
+            state = DecoderState(h, c, h1)
+            sobs = agent._to_sobs(obs, np.zeros(batch, bool), None, False)
+            sobs["is_first"] = np.array(
+                [(rows[i] or roots[i])["is_first"] for i in range(batch)])
+            sobs_dev = {k: jnp.asarray(v) for k, v in sobs.items()}
+            new_state, log_probs = step_fn(agent.params, agent.tables,
+                                           cached, valid, seq_len, state,
+                                           sobs_dev)
+            log_probs = np.asarray(log_probs)
+            new_h = np.asarray(new_state.h, np.float32)
+            new_c = np.asarray(new_state.c, np.float32)
+            new_h1 = np.asarray(new_state.h1, np.float32)
+
+            for i in range(batch):
+                cur = rows[i]
+                if cur is None:
+                    continue
+                g = env.graphs[results[i]["scan"]]
+                vp = cur["next_viewpoint"]
+                n = int(obs.cand_n[i])
+                run_state = (new_h[i], new_c[i], new_h1[i])
+                for j in range(n + 1):
+                    lp = float(log_probs[i, j])
+                    count = cur["count"] + 1
+                    stop = j >= n
+                    if stop:
+                        nxt_vp, view = vp, int(obs.view_index[i])
+                    else:
+                        nxt_vp = g.ids[int(obs.cand_nbr_ix[i, j])]
+                        view = int(obs.cand_point_id[i, j])
+                    succ = {
+                        "next_viewpoint": nxt_vp,
+                        "view_index": view,
+                        "running_state": run_state,
+                        "is_first": False,
+                        "parent": cur,
+                        "action": STOP_ACTION if stop else j,
+                        "lp": lp,
+                        "n_actions": n + 1,
+                        "score": cur["score"] + lp,
+                        "count": count,
+                        "record": {
+                            "feat_row": int(obs.feat_row[i]),
+                            "view_index": int(obs.view_index[i]),
+                            "cand_point_id": view if not stop else 0,
+                            "cand_heading":
+                                float(obs.cand_heading[i, j])
+                                if not stop else 0.0,
+                            "cand_elevation":
+                                float(obs.cand_elevation[i, j])
+                                if not stop else 0.0,
+                            "has_cand": not stop,
+                        },
+                    }
+                    pool = (holding[i]
+                            if stop or count >= cfg.max_action
+                            else cache[i])
+                    old = pool.get(key_of(succ))
+                    if old is None or succ["score"] > old[0]["score"]:
+                        pool[key_of(succ)] = [succ, False]
+
+        # select the next frontier: best unexpanded poses across the
+        # open cache and the completed-holding pool (follower.py:902-931)
+        for i in range(batch):
+            if len(completed[i]) >= completion_size:
+                beams[i] = []
+                continue
+            consider = ([(k, v, False) for k, v in cache[i].items()
+                         if not v[1]]
+                        + [(k, v, True) for k, v in holding[i].items()
+                           if not v[1]])
+            consider.sort(key=lambda kvh: kvh[1][0]["score"], reverse=True)
+            new_beam = []
+            for k, v, held in consider[:successor_size]:
+                v[1] = True
+                if held:
+                    old = completed[i].get(k)
+                    if old is None or v[0]["score"] > old["score"]:
+                        completed[i][k] = v[0]
+                else:
+                    new_beam.append(v[0])
+                    stitch(i, v[0]["next_viewpoint"])
+            beams[i] = ([] if len(completed[i]) >= completion_size
+                        else new_beam)
+
+    # fallback: if expansion budget ran out before a STOP, promote the
+    # best held (or frontier) state so every episode yields >=1 path
+    for i in range(batch):
+        if not completed[i]:
+            pool = holding[i] or cache[i]
+            k, v = max(pool.items(), key=lambda kv: kv[1][0]["score"])
+            completed[i][k] = v[0]
+
+    # close the exploration loop (matches dijkstra_search's contract)
+    for i in range(batch):
+        stitch(i, results[i]["dijk_path"][0])
+
+    for i, result in enumerate(results):
+        final = sorted(completed[i].values(), key=lambda s: s["score"],
+                       reverse=True)[:completion_size]
+        for st in final:
+            path = {"trajectory": [], "action": [], "records": [],
+                    "listener_scores": [], "listener_actions": []}
+            cur = st
+            while cur is not None:
+                h_e = _view_pose(cur["view_index"])
+                path["trajectory"].append(
+                    (cur["next_viewpoint"], h_e[0], h_e[1]))
+                if cur["parent"] is None:
+                    break
+                path["action"].append(cur["action"])
+                path["records"].append(cur["record"])
+                path["listener_scores"].append(cur["lp"])
+                path["listener_actions"].append(cur["n_actions"])
+                cur = cur["parent"]
+            for k in ("trajectory", "action", "records",
+                      "listener_scores", "listener_actions"):
+                path[k] = path[k][::-1]
+            result["paths"].append(path)
+    return results
+
+
+def _speaker_rescore(results: List[dict], speaker) -> List[dict]:
+    """Score each candidate path with the speaker (agent_dg.py:1251-1310)."""
     for result in results:
         for path in result["paths"]:
             recs = path.pop("records")
@@ -252,6 +479,12 @@ def beam_search(agent: Seq2SeqAgent, speaker,
     return results
 
 
+def beam_search(agent: Seq2SeqAgent, speaker,
+                n_candidates: int = 1) -> List[dict]:
+    """Dijkstra search + speaker rescoring (agent_dg.py:1251-1310)."""
+    return _speaker_rescore(dijkstra_search(agent, n_candidates), speaker)
+
+
 def beam_search_test(agent: Seq2SeqAgent, speaker,
                      n_candidates: int = 1) -> Dict[str, dict]:
     """Search every item once (agent_dg.py:1312-1325)."""
@@ -260,6 +493,26 @@ def beam_search_test(agent: Seq2SeqAgent, speaker,
     env.reset_epoch()
     for _ in range(env.size() // env.batch_size + 2):
         for traj in beam_search(agent, speaker, n_candidates):
+            agent.results.setdefault(traj["instr_id"], traj)
+        if len(agent.results) >= env.size():
+            break
+    return agent.results
+
+
+def state_factored_search_test(agent: Seq2SeqAgent, speaker,
+                               completion_size: int = 1,
+                               successor_size: int = 4) -> Dict[str, dict]:
+    """State-factored search + speaker rescoring over every item
+    (the speaker-follower pragmatic-inference eval path,
+    tasks/R2R/speaker/follower.py:987-999 test with beam_size>1)."""
+    agent.results = {}
+    env = agent.env
+    env.reset_epoch()
+    for _ in range(env.size() // env.batch_size + 2):
+        results = _speaker_rescore(
+            state_factored_search(agent, completion_size, successor_size),
+            speaker)
+        for traj in results:
             agent.results.setdefault(traj["instr_id"], traj)
         if len(agent.results) >= env.size():
             break
