@@ -229,6 +229,23 @@ def main():
     float(np.asarray(agent.losses[-1]))  # force through the async queue
     warm = time.time() - t0
 
+    # ramp: untimed iterations between compile and the timed windows.
+    # The streamed regime is not at steady state for the first ~2-3
+    # windows (pool fill, two-window-lagged flow control, cold-policy
+    # episode lengths) — timing it raw produced a 26% window spread in
+    # round 3 (BENCH_r03: 3902/4973/5136).  Burning the ramp here makes
+    # the three timed windows measure the same regime a production run
+    # lives in; episode-length drift from the policy *training* remains
+    # (it is the workload), but the transient is gone.
+    ramp_iters = int(os.environ.get("DASA_BENCH_RAMP",
+                                    "0" if fast else "21"))
+    t0 = time.time()
+    for _ in range(ramp_iters):
+        one_iter()
+    if ramp_iters:
+        float(np.asarray(agent.losses[-1]))
+    ramp_dt = time.time() - t0
+
     # timed windows: 3 x 7 iterations.  Each window's loop fetches
     # NOTHING (device dispatch is async and the fused rollouts never
     # sync); the clock stops on a value fetch that depends on the final
@@ -280,7 +297,8 @@ def main():
         "windows": [round(r, 1) for r in window_rates],
     }
     print(json.dumps(result))
-    print(f"# warmup(compile)={warm:.1f}s, {n_windows}x"
+    print(f"# warmup(compile)={warm:.1f}s, "
+          f"ramp={ramp_iters} iters in {ramp_dt:.1f}s, {n_windows}x"
           f"{iters_per_window} iters in {total_dt:.1f}s, "
           f"{total_steps} agent-steps, avg_ep_len={avg_ep_len:.1f}, "
           f"flops/step={flops_step / 1e9:.1f}G, "

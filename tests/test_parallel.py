@@ -18,7 +18,11 @@ def test_mesh_and_sharding_helpers():
 
 
 def test_dryrun_multichip_two_devices():
-    """The driver's dryrun contract at n=2 (n=8 runs via __main__)."""
+    """The driver's dryrun contract at n=2 (n=8 runs via __main__).
+
+    programs="full" adds the split-teacher grad and the fused device
+    eval over the mesh — coverage the driver's slim n=8 artifact
+    deliberately drops (compile budget on the 1-core host)."""
     import __graft_entry__ as g
 
-    g.dryrun_multichip(2)
+    g.dryrun_multichip(2, programs="full")
