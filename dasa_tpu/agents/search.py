@@ -327,9 +327,22 @@ def state_factored_search(agent: Seq2SeqAgent, completion_size: int = 1,
             if all(r is None for r in rows):
                 continue
             for i in range(batch):
-                st = rows[i] or roots[i]
+                st = rows[i]
+                if st is None:
+                    # padding row (beam shorter than this rank): leave
+                    # the env at its previous pose — the batched decode
+                    # still covers the row but its outputs are
+                    # discarded, and skipping the teleport avoids both
+                    # the host work and mutating env state rollouts
+                    # never visited (ADVICE r3)
+                    continue
                 obs = env.teleport(i, st["next_viewpoint"],
                                    st["view_index"])
+                # physical traversal record: the reference extends
+                # traversed_lists when a world state is actually
+                # teleported to (expanded), not when it is selected
+                # (follower.py update_traversed_lists)
+                stitch(i, st["next_viewpoint"])
             h = jnp.asarray(np.stack(
                 [(rows[i] or roots[i])["running_state"][0]
                  for i in range(batch)]), agent.dtype)
@@ -419,26 +432,49 @@ def state_factored_search(agent: Seq2SeqAgent, completion_size: int = 1,
                     if old is None or v[0]["score"] > old["score"]:
                         completed[i][k] = v[0]
                 else:
+                    # stitched at expansion time (when teleported to),
+                    # not here: frontier poses selected in the same
+                    # round a held completion fills completion_size are
+                    # never expanded and must not enter dijk_path
                     new_beam.append(v[0])
-                    stitch(i, v[0]["next_viewpoint"])
             beams[i] = ([] if len(completed[i]) >= completion_size
                         else new_beam)
 
     # fallback: if expansion budget ran out before a STOP, promote the
-    # best held (or frontier) state so every episode yields >=1 path
+    # best held (or frontier) state so every episode yields >=1 path.
+    # The reference loops until every episode holds completion_size
+    # completions (follower.py), so a budget exhaust is a deviation —
+    # surface it instead of silently changing eval results (ADVICE r3)
+    exhausted = [
+        i for i in range(batch)
+        if len(completed[i]) < completion_size
+        and (beams[i]
+             or any(not v[1] for v in cache[i].values())
+             or any(not v[1] for v in holding[i].values()))]
     for i in range(batch):
         if not completed[i]:
             pool = holding[i] or cache[i]
             k, v = max(pool.items(), key=lambda kv: kv[1][0]["score"])
             completed[i][k] = v[0]
+    if exhausted:
+        import warnings
 
-    # close the exploration loop (matches dijkstra_search's contract)
-    for i in range(batch):
-        stitch(i, results[i]["dijk_path"][0])
+        warnings.warn(
+            f"state_factored_search: {len(exhausted)}/{batch} episodes "
+            f"exhausted max_expansions={max_expansions} before holding "
+            f"{completion_size} completions (best-effort states "
+            f"emitted); raise max_expansions", stacklevel=2)
 
     for i, result in enumerate(results):
         final = sorted(completed[i].values(), key=lambda s: s["score"],
                        reverse=True)[:completion_size]
+        # the reference traverses to each emitted completion
+        # (update_traversed_lists(completed_list)) so the physical
+        # exploration path reaches the endpoints, then closes the loop
+        # back to the start
+        for st in final:
+            stitch(i, st["next_viewpoint"])
+        stitch(i, result["dijk_path"][0])
         for st in final:
             path = {"trajectory": [], "action": [], "records": [],
                     "listener_scores": [], "listener_actions": []}
@@ -501,7 +537,9 @@ def beam_search_test(agent: Seq2SeqAgent, speaker,
 
 def state_factored_search_test(agent: Seq2SeqAgent, speaker,
                                completion_size: int = 1,
-                               successor_size: int = 4) -> Dict[str, dict]:
+                               successor_size: int = 4,
+                               max_expansions: int = 80
+                               ) -> Dict[str, dict]:
     """State-factored search + speaker rescoring over every item
     (the speaker-follower pragmatic-inference eval path,
     tasks/R2R/speaker/follower.py:987-999 test with beam_size>1)."""
@@ -510,7 +548,8 @@ def state_factored_search_test(agent: Seq2SeqAgent, speaker,
     env.reset_epoch()
     for _ in range(env.size() // env.batch_size + 2):
         results = _speaker_rescore(
-            state_factored_search(agent, completion_size, successor_size),
+            state_factored_search(agent, completion_size, successor_size,
+                                  max_expansions=max_expansions),
             speaker)
         for traj in results:
             agent.results.setdefault(traj["instr_id"], traj)

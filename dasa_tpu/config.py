@@ -78,6 +78,13 @@ class Config:
     submit: bool = False
     beam: bool = False
     alpha: float = 0.5
+    # beam_valid search flavor: "dijkstra" keys states by (viewpoint,
+    # arriving action) (agent_dg.py:1038-1325); "state_factored" keeps
+    # one state per physical pose — the speaker-follower search
+    # (tasks/R2R/speaker/follower.py:720-980, test entry 987-999)
+    search_type: str = "dijkstra"  # dijkstra | state_factored
+    successor_size: int = 4        # state_factored frontier per round
+    max_expansions: int = 0        # search budget; 0 = per-search default
 
     # Optimization (param.py:80-90)
     optim: str = "rms"            # rms | adam | sgd | adamw
@@ -324,6 +331,9 @@ class Config:
         if self.rollout_mode not in ("episodic", "stream"):
             raise ValueError(f"rollout_mode must be episodic|stream, "
                              f"got {self.rollout_mode!r}")
+        if self.search_type not in ("dijkstra", "state_factored"):
+            raise ValueError(f"search_type must be dijkstra|"
+                             f"state_factored, got {self.search_type!r}")
         if self.prng_impl not in ("threefry", "rbg", "unsafe_rbg"):
             raise ValueError(f"prng_impl must be threefry|rbg|"
                              f"unsafe_rbg, got {self.prng_impl!r}")

@@ -259,9 +259,16 @@ def train(cfg: Config, world: Optional[World] = None,
 
 def beam_valid(cfg: Config, world: Optional[World] = None
                ) -> Dict[str, dict]:
-    """Dijkstra-search validation with speaker/listener score mixing and
-    optional alpha param search (train.py:424-517)."""
-    from dasa_tpu.agents.search import beam_search_test, cal_score
+    """Search-based validation with speaker/listener score mixing and
+    optional alpha param search (train.py:424-517).  cfg.search_type
+    picks the expansion strategy: "dijkstra" (agent_dg.py:1038-1325) or
+    the speaker-follower's "state_factored" search
+    (tasks/R2R/speaker/follower.py:987-999)."""
+    from dasa_tpu.agents.search import (
+        beam_search_test,
+        cal_score,
+        state_factored_search_test,
+    )
     from dasa_tpu.agents.speaker import SpeakerAgent
 
     world = world or World(cfg)
@@ -279,7 +286,12 @@ def beam_valid(cfg: Config, world: Optional[World] = None
             continue
         agent.env = env
         speaker.env = env
-        results = beam_search_test(agent, speaker, cfg.candidates)
+        if cfg.search_type == "state_factored":
+            results = state_factored_search_test(
+                agent, speaker, cfg.candidates, cfg.successor_size,
+                max_expansions=cfg.max_expansions or 80)
+        else:
+            results = beam_search_test(agent, speaker, cfg.candidates)
         evaluator = world.evaluators[env_name]
 
         def pick(alpha, avg_speaker, avg_listener):

@@ -83,6 +83,21 @@ def test_beam_valid_end_to_end(data_dir, tmp_path):
     assert os.path.exists(sub)
 
 
+def test_beam_valid_state_factored(data_dir, tmp_path):
+    """cfg.search_type='state_factored' routes beam_valid through the
+    speaker-follower search (follower.py:987-999) — same output
+    contract, scoreable end-to-end."""
+    cfg = tiny_cfg(data_dir, str(tmp_path), name="t_sfbeam",
+                   candidates=2, alpha=0.5, batch_size=3, max_action=5,
+                   search_type="state_factored", successor_size=3,
+                   max_expansions=60)
+    out = trainer.beam_valid(cfg)
+    assert "val_seen" in out and "val_unseen" in out
+    for summary in out.values():
+        assert 0.0 <= summary["success_rate"] <= 1.0
+        assert summary["lengths"] > 0
+
+
 def test_speaker_trainer_mode(data_dir, tmp_path):
     cfg = tiny_cfg(data_dir, str(tmp_path), name="t_speaker", iters=4,
                    log_every=2, val_every=4, save_every=4)
