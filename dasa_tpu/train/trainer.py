@@ -41,12 +41,16 @@ class World:
         self.cfg = cfg
         self.ndh = ndh
         set_seed(cfg.seed)
-        train_raw = self._load("train")
         vocab_path = cfg.vocab_path or os.path.join(
             cfg.data_dir, "train_vocab.txt")
         if os.path.exists(vocab_path):
+            # a prebuilt vocab (e.g. the reference's committed
+            # tasks/R2R/data/train_vocab.txt) removes the need for the
+            # train split entirely — eval-only worlds can run from the
+            # val splits alone (scripts/check_real_data.py)
             vocab = read_vocab(vocab_path)
         else:
+            train_raw = self._load("train")
             vocab = build_vocab(train_raw, min_count=5)
             if len(vocab) < 20:  # tiny synthetic data: keep every word
                 vocab = build_vocab(train_raw, min_count=1)

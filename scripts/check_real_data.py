@@ -47,6 +47,10 @@ def main():
                     help="reference pytorch_model.bin to graft into the "
                          "encoder (DicAddActionPreTrain format)")
     ap.add_argument("--splits", default="val_seen,val_unseen")
+    ap.add_argument("--vocab", default=None,
+                    help="prebuilt vocab file; falls back to the "
+                         "reference's committed train_vocab.txt when "
+                         "R2R_train.json is absent (eval-only check)")
     ap.add_argument("--flags", default="",
                     help="extra train.py-style flags for the model "
                          "config (reference spellings accepted)")
@@ -59,6 +63,21 @@ def main():
             fail(f"missing split file {p}")
     if not os.path.exists(args.img_features):
         fail(f"missing image features {args.img_features}")
+    have_train = os.path.exists(
+        os.path.join(args.data_dir, "R2R_train.json"))
+    vocab = args.vocab
+    if vocab is None and not have_train:
+        # the committed real vocab is enough for eval-only runs
+        # (tests/test_real_artifacts.py proves it loads + encodes)
+        committed = "/root/reference/tasks/R2R/data/train_vocab.txt"
+        if os.path.exists(committed):
+            vocab = committed
+            print(f"no R2R_train.json: using committed vocab {vocab}",
+                  flush=True)
+        else:
+            fail("R2R_train.json absent and no --vocab given")
+    if vocab is not None and not os.path.exists(vocab):
+        fail(f"missing vocab file {vocab}")
     print("assets: ok", flush=True)
 
     # ---- 2. config (headline DASA dims + user flags) -----------------
@@ -71,6 +90,7 @@ def main():
         "--img_features_path", args.img_features,
         *(["--depth_features_path", args.depth_features]
           if args.depth_features else []),
+        *(["--vocab_path", vocab] if vocab else []),
         "--name", "readiness_check",
         *flag_list,
     ])
@@ -78,9 +98,11 @@ def main():
     # ---- 3. build world + agent, import checkpoints ------------------
     from dasa_tpu.train import trainer
 
-    world = trainer.World(cfg, splits=("train",),
-                          val_splits=tuple(args.splits.split(",")))
-    agent = trainer.make_agent(cfg, world)
+    val_splits = tuple(args.splits.split(","))
+    world = trainer.World(cfg, splits=("train",) if have_train else (),
+                          val_splits=val_splits)
+    agent = trainer.make_agent(
+        cfg, world, env_name="train" if have_train else val_splits[0])
     if args.pretrain_bert:
         from dasa_tpu.utils.torch_import import import_pretrained_bert
 
