@@ -107,6 +107,130 @@ def translate_dic_model(state: Dict[str, np.ndarray],
     return out
 
 
+def _put_into(out, state, path, leaves, torch_base):
+    for suf, leaf, tf in leaves:
+        key = f"{torch_base}.{suf}"
+        if key in state:
+            out[tuple(path.split("/")) + (leaf,)] = tf(state[key])
+
+
+def _bert_layer_into(out, state, flax_base, torch_base):
+    """One BertLayer (attention/self + output + intermediate + output)."""
+    for qkv in ("query", "key", "value"):
+        _put_into(out, state, f"{flax_base}/attention/self/{qkv}",
+                  _LINEAR, f"{torch_base}.attention.self.{qkv}")
+    _put_into(out, state, f"{flax_base}/attention/output/dense",
+              _LINEAR, f"{torch_base}.attention.output.dense")
+    _put_into(out, state, f"{flax_base}/attention/output/LayerNorm",
+              _LAYERNORM, f"{torch_base}.attention.output.LayerNorm")
+    _put_into(out, state, f"{flax_base}/intermediate/dense", _LINEAR,
+              f"{torch_base}.intermediate.dense")
+    _put_into(out, state, f"{flax_base}/output/dense", _LINEAR,
+              f"{torch_base}.output.dense")
+    _put_into(out, state, f"{flax_base}/output/LayerNorm", _LAYERNORM,
+              f"{torch_base}.output.LayerNorm")
+
+
+def _embeddings_into(out, state, torch_prefix=""):
+    for name in ("word_embeddings", "position_embeddings",
+                 "token_type_embeddings"):
+        _put_into(out, state, f"embeddings/{name}", _EMBED,
+                  f"{torch_prefix}embeddings.{name}")
+    _put_into(out, state, "embeddings/LayerNorm", _LAYERNORM,
+              f"{torch_prefix}embeddings.LayerNorm")
+
+
+def translate_vic_model(state: Dict[str, np.ndarray]
+                        ) -> Dict[Tuple[str, ...], np.ndarray]:
+    """torch VicModel (vilmodel.py:1098-1243) -> our Vic-aliased
+    DicModel flax paths.  VicModel is the full 12-layer text BERT
+    (named ``encoder.layer.N``) + LXRTX addlayers; our Vic alias builds
+    DicModel with d_la_layers=12 / d_v_layers=0 (config.py), so the
+    text stack renames onto ``lalayer.N`` and the rest reuses the
+    DicModel map (embeddings / pooler / vision_encoder / addlayer)."""
+    renamed = {}
+    for k, v in state.items():
+        if k.startswith("encoder.layer."):
+            k = "lalayer." + k[len("encoder.layer."):]
+        renamed[k] = v
+    return translate_dic_model(renamed)
+
+
+def translate_bert_add_model(state: Dict[str, np.ndarray]
+                             ) -> Dict[Tuple[str, ...], np.ndarray]:
+    """torch BertAddModel (vilmodel.py:886-1010, the HugAdd pretrain
+    family's bert) -> our legacy BertAddEncoder flax paths
+    (models/legacy.py): text stack ``encoder.layer.N`` -> ``text_N``,
+    joint ``addlayer.layer.N`` -> ``add_N``, plus embeddings and the
+    image projection.  The torch pooler has no analog (our tail is the
+    top LSTM, randomly initialized on graft — same as the reference
+    keeping its top LSTM fresh after ``encoder.bert = premodel.bert``).
+    """
+    out: Dict[Tuple[str, ...], np.ndarray] = {}
+    _embeddings_into(out, state)
+    _put_into(out, state, "img_embedding", _LINEAR, "img_embedding")
+    i = 0
+    while f"encoder.layer.{i}.attention.self.query.weight" in state:
+        _bert_layer_into(out, state, f"text_{i}", f"encoder.layer.{i}")
+        i += 1
+    i = 0
+    while f"addlayer.layer.{i}.attention.self.query.weight" in state:
+        _bert_layer_into(out, state, f"add_{i}", f"addlayer.layer.{i}")
+        i += 1
+    return out
+
+
+def translate_bert_add_encoder(state: Dict[str, np.ndarray]
+                               ) -> Dict[Tuple[str, ...], np.ndarray]:
+    """torch BertAddEncoder (r2rmodel.py — the legacy-zoo encoder the
+    BertAddActionPreTrain family wraps): HF BertModel under ``bert.``
+    + ``addlayer.layer.N`` + top LSTM + decoder-init projections ->
+    our legacy BertAddEncoder INCLUDING the tail (this family's
+    checkpoint carries the whole encoder, unlike the bert-only HF
+    formats).  torch ``encoder_lstm2decoder_{ht,ct}`` (the top_lstm
+    path, r2rmodel.py) land on the tail's ``encoder2decoder_{ht,ct}``.
+    """
+    out: Dict[Tuple[str, ...], np.ndarray] = {}
+    _embeddings_into(out, state, torch_prefix="bert.")
+    _put_into(out, state, "img_embedding", _LINEAR, "img_embedding")
+    i = 0
+    while f"bert.encoder.layer.{i}.attention.self.query.weight" in state:
+        _bert_layer_into(out, state, f"text_{i}",
+                         f"bert.encoder.layer.{i}")
+        i += 1
+    i = 0
+    while f"addlayer.layer.{i}.attention.self.query.weight" in state:
+        _bert_layer_into(out, state, f"add_{i}", f"addlayer.layer.{i}")
+        i += 1
+    if "lstm.weight_ih_l0" in state:
+        bidir = "lstm.weight_ih_l0_reverse" in state
+        out.update(translate_lstm(state, "lstm", "tail/lstm", bidir))
+    for tc, fx in (("encoder_lstm2decoder_ht", "tail/encoder2decoder_ht"),
+                   ("encoder_lstm2decoder_ct",
+                    "tail/encoder2decoder_ct")):
+        if f"{tc}.weight" in state:
+            out.update(translate_linear(state, tc, fx))
+    return out
+
+
+def detect_pretrain_family(bert_state: Dict[str, np.ndarray]) -> str:
+    """Classify a pretrain checkpoint's ``bert.*`` sub-dict by its key
+    structure (the four families of r2rpretrain_class.py)."""
+    keys = bert_state.keys()
+    if any(k.startswith("lalayer.") for k in keys):
+        return "dic"                   # DicAdd / DicPM (DicModel)
+    if any(k.startswith("bert.encoder.layer.") for k in keys) \
+            or "lstm.weight_ih_l0" in keys:
+        return "bertadd_encoder"       # BertAdd* (r2rmodel encoder)
+    if any(k.startswith("addlayer.layer.") for k in keys):
+        return "hugadd"                # HugAdd (vilmodel BertAddModel)
+    if any(".visual_attention." in k for k in keys):
+        return "vic"                   # Vic (vilmodel VicModel)
+    raise ValueError(
+        f"unrecognized pretrain checkpoint family; sample keys: "
+        f"{sorted(keys)[:8]}")
+
+
 def translate_lstm(state: Dict[str, np.ndarray], torch_base: str,
                    flax_base: str, bidirectional: bool
                    ) -> Dict[Tuple[str, ...], np.ndarray]:
@@ -249,16 +373,35 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
 
 def import_pretrained_bert(policy_params: Dict, bin_path: str,
                            strict: bool = False) -> Tuple[Dict, list]:
-    """Load a DicAddActionPreTrain pytorch_model.bin and graft its
-    DicModel weights into the policy encoder
-    (the reference's `encoder.bert = premodel.bert`)."""
+    """Load a pretrain pytorch_model.bin and graft its ``bert``
+    submodule's weights into the policy encoder (the reference's
+    ``encoder.bert = premodel.bert``, agent_dg.py:135-188).
+
+    All four checkpoint families of r2rpretrain_class.py are accepted
+    and auto-detected from key structure:
+    - DicAdd/DicPM (DicModel, r2rpretrain_class.py:106-235)
+    - Vic (VicModel, 61-104) — graft onto the Vic-aliased DicModel
+    - HugAdd (vilmodel BertAddModel, 11-59) — onto legacy BertAddEncoder
+    - BertAdd* (r2rmodel BertAddEncoder, 285-378) — whole encoder
+      including top LSTM + decoder-init projections"""
     state = load_torch_state_dict(bin_path)
     bert_state = {k[len("bert."):]: v for k, v in state.items()
                   if k.startswith("bert.")}
-    translated = translate_dic_model(bert_state)
+    family = detect_pretrain_family(bert_state)
+    if family == "dic":
+        translated = translate_dic_model(bert_state)
+        root = ("params", "encoder", "bert")
+    elif family == "vic":
+        translated = translate_vic_model(bert_state)
+        root = ("params", "encoder", "bert")
+    elif family == "hugadd":
+        translated = translate_bert_add_model(bert_state)
+        root = ("params", "encoder")
+    else:  # bertadd_encoder: cfg.encoder_type in the BertAdd family
+        translated = translate_bert_add_encoder(bert_state)
+        root = ("params", "encoder")
     return apply_translated(policy_params, translated,
-                            strict=strict,
-                            root=("params", "encoder", "bert"))
+                            strict=strict, root=root)
 
 
 def import_listener_checkpoint(policy_params: Dict, path: str,

@@ -393,3 +393,137 @@ def test_mt_distance_kl_parity(ref):
     ours = float(kl_row.sum() / max(float(cnt_row.sum()), 1.0))
     assert float(cnt_row.sum()) == int((ci[has] != -1).sum())
     np.testing.assert_allclose(ours, kl_ref, rtol=1e-4, atol=1e-6)
+
+
+def test_vic_model_forward_parity(ref):
+    """VicAddActionPreTrain's bert (VicModel, vilmodel.py:1098-1243):
+    text BERT named encoder.layer.N + LXRTX addlayers.  Our Vic alias
+    is DicModel with la_layers=num_hidden_layers / v_layers=0
+    (config.py), imported via translate_vic_model."""
+    _, ref_vilmodel, _, args = ref
+    import modeling_utils
+
+    tcfg = modeling_utils.PretrainedConfig()
+    fields = dict(
+        vocab_size=64, hidden_size=HID, num_attention_heads=4,
+        intermediate_size=2 * HID, max_position_embeddings=64,
+        type_vocab_size=2, hidden_dropout_prob=0.1,
+        attention_probs_dropout_prob=0.1, layer_norm_eps=1e-12,
+        img_feature_dim=FEAT + ANGLE, img_feature_type="imagenet",
+        vl_layers=1, update_lang_bert=True, update_add_layer=True,
+        hidden_act="gelu", initializer_range=0.02,
+        output_attentions=False, output_hidden_states=False,
+        num_hidden_layers=2, vocab_size_or_config_json_file=64)
+    for k, v in fields.items():
+        setattr(tcfg, k, v)
+    tm = ref_vilmodel.VicModel(tcfg)
+    tm.eval()
+
+    from dasa_tpu.models.bert import BertConfig, DicModel
+    from dasa_tpu.utils.torch_import import translate_vic_model
+
+    fcfg = BertConfig(
+        vocab_size=64, hidden_size=HID, num_attention_heads=4,
+        intermediate_size=2 * HID, max_position_embeddings=64,
+        img_feature_dim=FEAT + ANGLE, la_layers=2, vl_layers=1,
+        v_layers=0, update_lang_bert=True, update_add_layer=True)
+    fm = DicModel(fcfg)
+    rng = np.random.default_rng(3)
+    ids = rng.integers(1, 64, size=(B, L)).astype(np.int64)
+    att = np.ones((B, L), np.int64)
+    att[:, 9:] = 0
+    img = rng.standard_normal((B, 36, FEAT + ANGLE)).astype(np.float32)
+
+    import jax
+
+    params = fm.init(jax.random.PRNGKey(0), jnp.asarray(ids, jnp.int32),
+                     jnp.asarray(att, jnp.int32), jnp.asarray(img))
+    tr = translate_vic_model(_torch_state(tm))
+    params = _apply(params, tr, root=("params",))
+
+    with torch.no_grad():
+        t_seq, t_pooled = tm(torch.from_numpy(ids),
+                             attention_mask=torch.from_numpy(att),
+                             img_feats=torch.from_numpy(img))[:2]
+    f_seq, f_pooled, _f_visn = fm.apply(
+        params, jnp.asarray(ids, jnp.int32), jnp.asarray(att, jnp.int32),
+        jnp.asarray(img), deterministic=True)
+    np.testing.assert_allclose(np.asarray(f_seq), t_seq.numpy(),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(f_pooled), t_pooled.numpy(),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_bert_add_model_forward_parity(ref):
+    """HugAddActionPreTrain's bert (BertAddModel, vilmodel.py:886-1010):
+    text stack encoder.layer.N, image projection, joint add-layers over
+    [img; text].  Imported onto our legacy BertAddEncoder via
+    translate_bert_add_model; parity asserted on the FULL fused joint
+    sequence (built from the grafted params via module binding — the
+    encoder's own __call__ then feeds it to the fresh top LSTM, which
+    the graft intentionally leaves random)."""
+    _, ref_vilmodel, _, args = ref
+    import modeling_utils
+
+    tcfg = modeling_utils.PretrainedConfig()
+    fields = dict(
+        vocab_size=64, hidden_size=HID, num_attention_heads=4,
+        intermediate_size=2 * HID, max_position_embeddings=64,
+        type_vocab_size=2, hidden_dropout_prob=0.1,
+        attention_probs_dropout_prob=0.1, layer_norm_eps=1e-12,
+        img_feature_dim=FEAT + ANGLE, img_feature_type="imagenet",
+        vl_layers=1, update_lang_bert=True, update_add_layer=True,
+        hidden_act="gelu", initializer_range=0.02,
+        output_attentions=False, output_hidden_states=False,
+        num_hidden_layers=2, vocab_size_or_config_json_file=64)
+    for k, v in fields.items():
+        setattr(tcfg, k, v)
+    tm = ref_vilmodel.BertAddModel(tcfg)
+    tm.eval()
+
+    import jax
+
+    from dasa_tpu.models.bert import BertConfig, extended_attention_mask
+    from dasa_tpu.models.legacy import BertAddEncoder
+    from dasa_tpu.utils.torch_import import translate_bert_add_model
+
+    fcfg = BertConfig(
+        vocab_size=64, hidden_size=HID, num_attention_heads=4,
+        intermediate_size=2 * HID, max_position_embeddings=64,
+        img_feature_dim=FEAT + ANGLE, la_layers=2, vl_layers=1,
+        update_lang_bert=True, update_add_layer=True)
+    fm = BertAddEncoder(bert_config=fcfg, hidden_size=HID,
+                        dec_hidden_size=HID, dropout_ratio=0.0)
+    rng = np.random.default_rng(4)
+    ids = rng.integers(1, 64, size=(B, L)).astype(np.int64)
+    att = np.ones((B, L), np.int64)
+    att[:, 8:] = 0
+    img = rng.standard_normal((B, 36, FEAT + ANGLE)).astype(np.float32)
+    valid = jnp.asarray(att.astype(bool))
+    seq_len = jnp.asarray(att.sum(-1).astype(np.int32))
+
+    def init_both(m, ids, valid, seq_len, img):
+        return m(m.text_forward(ids, valid), valid, seq_len, img)
+
+    params = fm.init(jax.random.PRNGKey(0),
+                     jnp.asarray(ids, jnp.int32), valid, seq_len,
+                     jnp.asarray(img), method=init_both)
+    tr = translate_bert_add_model(_torch_state(tm))
+    params = _apply(params, tr, root=("params",))
+
+    with torch.no_grad():
+        t_seq = tm(torch.from_numpy(ids),
+                   attention_mask=torch.from_numpy(att),
+                   img_feats=torch.from_numpy(img))[0]
+
+    bound = fm.bind(params)
+    text = bound.text_forward(jnp.asarray(ids, jnp.int32), valid)
+    img_emb = bound.img_embedding(jnp.asarray(img))
+    joint = jnp.concatenate([img_emb, text], axis=1)
+    joint_valid = jnp.concatenate(
+        [jnp.ones((B, 36), bool), valid], axis=1)
+    bias = extended_attention_mask(joint_valid, jnp.float32)
+    for layer in bound.add_layers:
+        joint = layer(joint, bias, deterministic=True)
+    np.testing.assert_allclose(np.asarray(joint), t_seq.numpy(),
+                               rtol=1e-3, atol=1e-4)

@@ -198,3 +198,113 @@ def test_decoder_critic_import():
     new_params, missed = apply_translated(
         params, translate_critic(cstate), root=("params", "critic"))
     assert missed == [], missed
+
+
+def build_bert_add_params():
+    from dasa_tpu.models.bert import BertConfig
+    from dasa_tpu.models.legacy import BertAddEncoder
+
+    fcfg = BertConfig(
+        vocab_size=32, hidden_size=16, num_attention_heads=2,
+        intermediate_size=32, max_position_embeddings=32,
+        img_feature_dim=24, la_layers=1, vl_layers=1)
+    fm = BertAddEncoder(bert_config=fcfg, hidden_size=12,
+                        dec_hidden_size=20, dropout_ratio=0.0)
+    ids = jnp.zeros((2, 8), jnp.int32)
+    valid = jnp.ones((2, 8), bool)
+
+    def init_both(m, ids, valid):
+        return m(m.text_forward(ids, valid), valid,
+                 jnp.full((2,), 8, jnp.int32), jnp.zeros((2, 36, 24)))
+
+    return fm.init(jax.random.PRNGKey(0), ids, valid, method=init_both)
+
+
+def test_bert_add_encoder_import_roundtrip():
+    """The BertAddActionPreTrain family's encoder checkpoint
+    (r2rmodel.py BertAddEncoder: HF BertModel under .bert + joint
+    add-layers + top LSTM + decoder-init projections) maps fully onto
+    our legacy BertAddEncoder INCLUDING the tail."""
+    from dasa_tpu.utils.torch_import import translate_bert_add_encoder
+
+    params = build_bert_add_params()
+    enc = params["params"]
+    name_map = {}
+
+    def add_linear(torch_base, flax_base, bias=True):
+        name_map[f"{torch_base}.weight"] = (f"{flax_base}/kernel",
+                                            "linear_w")
+        if bias:
+            name_map[f"{torch_base}.bias"] = (f"{flax_base}/bias", "id")
+
+    def add_ln(torch_base, flax_base):
+        name_map[f"{torch_base}.weight"] = (f"{flax_base}/scale", "id")
+        name_map[f"{torch_base}.bias"] = (f"{flax_base}/bias", "id")
+
+    def add_bert_layer(tc, fx):
+        for qkv in ("query", "key", "value"):
+            add_linear(f"{tc}.attention.self.{qkv}",
+                       f"{fx}/attention/self/{qkv}")
+        add_linear(f"{tc}.attention.output.dense",
+                   f"{fx}/attention/output/dense")
+        add_ln(f"{tc}.attention.output.LayerNorm",
+               f"{fx}/attention/output/LayerNorm")
+        add_linear(f"{tc}.intermediate.dense", f"{fx}/intermediate/dense")
+        add_linear(f"{tc}.output.dense", f"{fx}/output/dense")
+        add_ln(f"{tc}.output.LayerNorm", f"{fx}/output/LayerNorm")
+
+    for n in ("word_embeddings", "position_embeddings",
+              "token_type_embeddings"):
+        name_map[f"bert.embeddings.{n}.weight"] = (
+            f"embeddings/{n}/embedding", "id")
+    add_ln("bert.embeddings.LayerNorm", "embeddings/LayerNorm")
+    add_bert_layer("bert.encoder.layer.0", "text_0")
+    add_bert_layer("addlayer.layer.0", "add_0")
+    add_linear("img_embedding", "img_embedding")
+    for d, fdir in (("", "fwd_cell"), ("_reverse", "bwd_cell")):
+        name_map[f"lstm.weight_ih_l0{d}"] = (
+            f"tail/lstm/{fdir}/wi", "linear_w")
+        name_map[f"lstm.weight_hh_l0{d}"] = (
+            f"tail/lstm/{fdir}/wh", "linear_w")
+        name_map[f"lstm.bias_ih_l0{d}"] = (f"tail/lstm/{fdir}/b",
+                                           "lstm_b")
+        name_map[f"lstm.bias_hh_l0{d}"] = (f"tail/lstm/{fdir}/b",
+                                           "lstm_b")
+    add_linear("encoder_lstm2decoder_ht", "tail/encoder2decoder_ht")
+    add_linear("encoder_lstm2decoder_ct", "tail/encoder2decoder_ct")
+
+    state = fabricate_torch_state(enc, name_map)
+    translated = translate_bert_add_encoder(state)
+    new_params, missed = apply_translated(params, translated,
+                                          root=("params",))
+    assert missed == [], missed
+    old = np.asarray(enc["img_embedding"]["kernel"])
+    new = np.asarray(new_params["params"]["img_embedding"]["kernel"])
+    np.testing.assert_allclose(new, old + 1.0, atol=1e-6)
+    old_wi = np.asarray(enc["tail"]["lstm"]["fwd_cell"]["wi"])
+    new_wi = np.asarray(
+        new_params["params"]["tail"]["lstm"]["fwd_cell"]["wi"])
+    np.testing.assert_allclose(new_wi, old_wi + 1.0, atol=1e-6)
+
+
+def test_detect_pretrain_family():
+    from dasa_tpu.utils.torch_import import detect_pretrain_family
+
+    dic = {"lalayer.0.attention.self.query.weight": 0,
+           "addlayer.0.visual_attention.att.query.weight": 0}
+    vic = {"encoder.layer.0.attention.self.query.weight": 0,
+           "addlayer.0.visual_attention.att.query.weight": 0,
+           "vision_encoder.visn_fc.weight": 0}
+    hug = {"encoder.layer.0.attention.self.query.weight": 0,
+           "addlayer.layer.0.attention.self.query.weight": 0,
+           "img_embedding.weight": 0}
+    badd = {"bert.encoder.layer.0.attention.self.query.weight": 0,
+            "addlayer.layer.0.attention.self.query.weight": 0,
+            "lstm.weight_ih_l0": 0,
+            "encoder_lstm2decoder_ht.weight": 0}
+    assert detect_pretrain_family(dic) == "dic"
+    assert detect_pretrain_family(vic) == "vic"
+    assert detect_pretrain_family(hug) == "hugadd"
+    assert detect_pretrain_family(badd) == "bertadd_encoder"
+    with pytest.raises(ValueError):
+        detect_pretrain_family({"something.weight": 0})
