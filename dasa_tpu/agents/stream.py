@@ -825,8 +825,13 @@ class StreamMixin:
         if cache is None:
             cache = self._stream_cache = {}
         key = id(self.env)
+        # ALWAYS re-point self._dev_env at the current env's tables:
+        # an intervening eval (or the org/aug alternation) may have
+        # left it on another env, and staging/dispatch against the
+        # wrong world tables is silently wrong when the scan sets
+        # overlap (KeyError when they don't)
+        self._device_env_tables()
         if key not in cache:
-            self._device_env_tables()  # ensure tables for this env
             geom = self._stream_geom()
             cache[key] = (self.env, _StreamHost(
                 geom, self._stream_init_carry(geom),

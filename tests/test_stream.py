@@ -477,6 +477,38 @@ def test_stream_eval_matches_episodic_device_eval(world,
         assert streamed[iid] == episodic[iid], iid
 
 
+def test_stream_env_swap_refreshes_device_tables(world,
+                                                 connectivity_dir):
+    """Regression: after an eval (or org/aug swap) on an env with a
+    DIFFERENT scan set, the next streamed window must re-point
+    self._dev_env at the current env's tables — staging against the
+    stale tables KeyErrors (disjoint scans) or silently corrupts the
+    rollout (overlapping scans)."""
+    data_dir, feature_db, tok = world
+    cfg = tiny_cfg()
+    env_train = make_env(world, cfg, connectivity_dir)  # SCAN
+    raw_val = load_datasets(["val_unseen"], data_dir)   # SCAN2
+    items_val = expand_instructions(raw_val, tok, max_input=L)
+    env_val = R2REnv(feature_db, items_val, batch_size=cfg.batch_size,
+                     connectivity_dir=connectivity_dir,
+                     max_candidates=cfg.max_candidates,
+                     max_input=cfg.max_input)
+    agent = Seq2SeqAgent(cfg, env_train, feature_db,
+                         vocab_size=len(tok))
+    assert agent.use_stream_rollout()
+    agent.zero_grad()
+    agent.accumulate_gradient("sample")
+    agent.optim_step()
+    # eval on the other-scan env leaves _dev_env pointing at its tables
+    agent.env = env_val
+    agent.test(feedback="argmax")
+    agent.env = env_train
+    agent.zero_grad()
+    agent.accumulate_gradient("sample")  # KeyError before the fix
+    agent.optim_step()
+    assert np.isfinite(float(np.asarray(agent.losses[-1])))
+
+
 def test_stream_env_swap_keeps_separate_carries(world,
                                                 connectivity_dir):
     """The trainer's org/aug alternation swaps self.env between
@@ -498,3 +530,94 @@ def test_stream_env_swap_keeps_separate_carries(world,
     hosts = [v[1] for v in agent._stream_cache.values()]
     assert hosts[0] is not hosts[1]
     assert all(np.isfinite(float(np.asarray(l))) for l in agent.losses)
+
+
+# ---------------------------------------------------------------------
+# edge cases: starved windows, oversized pools, fuse_passes interaction
+# ---------------------------------------------------------------------
+def test_stream_starved_window_is_finite(world, connectivity_dir):
+    """A window with ZERO fresh episodes, an empty pool, and all slots
+    dead (the fully starved step) must produce finite loss/grads, zero
+    env-steps, and an all-starved ledger — the loss masking's
+    where-gradients are the usual NaN leak here."""
+    import jax.numpy as jnp
+
+    cfg = tiny_cfg(stream_steps=4, stream_pool=4)
+    env = make_env(world, cfg, connectivity_dir)
+    data_dir, feature_db, tok = world
+    agent = Seq2SeqAgent(cfg, env, feature_db, vocab_size=len(tok))
+    assert agent.use_stream_rollout()
+    st = agent._stream_host()
+    geom = st.geom
+    fresh = {f: jnp.stack([
+        jnp.broadcast_to(jnp.asarray(agent._stream_template_row()[f]),
+                         (geom.E,) + np.shape(
+                             agent._stream_template_row()[f]))] * 2)
+        for f in agent._stream_template_row()}
+    f_n = jnp.zeros((1, 2), jnp.int32)
+    fn = agent._stream_grad_fn("sample", False, False, geom)
+    grads, logs, _carry = fn(
+        agent.params, agent.tables, agent._dev_env.arrays(), st.carry,
+        fresh, f_n, jax.random.PRNGKey(0),
+        jnp.asarray(0.2), jnp.asarray(1.0), jnp.asarray(0.01))
+    assert np.isfinite(float(np.asarray(logs["loss"])))
+    for g in jax.tree_util.tree_leaves(grads):
+        assert np.isfinite(np.asarray(g)).all()
+    assert int(np.asarray(logs["env_steps"])) == 0
+    assert int(np.asarray(logs["admitted"]).sum()) == 0
+    assert int(np.asarray(logs["consumed"]).sum()) == 0
+    assert int(np.asarray(logs["leftover"]).sum()) == 0
+    # every (step, slot) wanted a refill and none arrived
+    assert int(np.asarray(logs["starved"])) == \
+        geom.S * geom.W
+
+
+def test_stream_pool_larger_than_dataset(world, connectivity_dir):
+    """A pool shard bigger than the whole dataset (E > items): staging
+    wraps the epoch, windows stay finite, and the take/fifo/leftover
+    ledger still reconciles against everything staged."""
+    # dataset = 16 paths x 3 instructions = 48 items; E = 160 > 48
+    cfg = tiny_cfg(stream_steps=6, stream_pool=160)
+    env = make_env(world, cfg, connectivity_dir)
+    data_dir, feature_db, tok = world
+    agent = Seq2SeqAgent(cfg, env, feature_db, vocab_size=len(tok))
+    assert agent.use_stream_rollout()
+    assert agent._stream_geom().E > env.size()
+    for _ in range(4):
+        agent.zero_grad()
+        agent.device_rollout_stream(cfg.ml_weight, feedback="sample",
+                                    record=True)
+        agent.optim_step()
+        assert np.isfinite(float(np.asarray(agent.losses[-1])))
+    st = agent._stream_host()
+    while st.inflight:  # settle everything dispatched
+        agent._settle_stream_window(st)
+    take_uids = []
+    for r in st.records:
+        tk = r["rec_take"] & (r["rec_uid"] >= 0)
+        take_uids.extend(r["rec_uid"][tk].tolist())
+    assert len(take_uids) == len(set(take_uids))  # exactly-once takes
+    fifo_uids = {int(it["uid"]) for it in st.fifo}
+    pooled = int(st.leftover_settled.sum())
+    assert len(st.staged) == len(take_uids) + len(fifo_uids) + pooled
+
+
+def test_stream_wins_over_fuse_passes(world, connectivity_dir):
+    """rollout_mode=stream + fuse_passes=auto (the bench's exact config
+    pair): accumulate_gradient must route to the streamed window, not
+    the combined episodic program, and train to finite losses."""
+    cfg = tiny_cfg(fuse_passes="auto")
+    env = make_env(world, cfg, connectivity_dir)
+    data_dir, feature_db, tok = world
+    agent = Seq2SeqAgent(cfg, env, feature_db, vocab_size=len(tok))
+    assert agent.use_stream_rollout()
+    assert agent.use_combined_rollout()  # both gates open...
+    for _ in range(3):
+        agent.zero_grad()
+        agent.accumulate_gradient("sample")
+        agent.optim_step()
+        assert np.isfinite(float(np.asarray(agent.losses[-1])))
+    # ...but only stream programs were compiled/dispatched
+    kinds = {k[0] for k in agent._jit_cache if isinstance(k, tuple)}
+    assert "devstream" in kinds
+    assert "devcomb" not in kinds
