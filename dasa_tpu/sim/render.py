@@ -116,6 +116,66 @@ def render_view(faces: Sequence[np.ndarray], heading: float,
     return out
 
 
+def load_render_spec(path: str):
+    """Parse the reference's golden-render spec
+    (src/test/rendertest_spec.json, consumed by the RGB Image test at
+    src/test/main.cpp:302-338): a list of camera poses, each paired
+    with a WebGL reference render filename."""
+    import json
+
+    with open(path) as f:
+        cases = json.load(f)
+    out = []
+    for c in cases:
+        out.append({
+            "scan": str(c["scanId"]),
+            "viewpoint": str(c["viewpointId"]),
+            "heading": float(c["heading"]),
+            "elevation": float(c["elevation"]),
+            "reference_image": str(c["reference_image"]),
+        })
+    return out
+
+
+def render_regression(spec, faces_for, golden_dir: str,
+                      out_dir: str = None, width: int = 640,
+                      height: int = 480,
+                      vfov: float = math.radians(60),
+                      tolerance: float = 0.15):
+    """The reference's golden-image regression (src/test/main.cpp:
+    302-338): render each spec pose and compare against the WebGL
+    golden with per-pixel-normalized L2 error < tolerance.
+
+    `faces_for(scan, viewpoint) -> 6 x (S, S, 3) uint8 faces` supplies
+    the skybox textures (real Matterport skyboxes when mounted, or
+    synthetic cubemaps in tests).  Returns one record per case with
+    the error and pass flag; raises nothing — the caller asserts.
+    Renders are optionally saved to out_dir for inspection (the
+    reference's sim_imgs/)."""
+    import os
+
+    from PIL import Image
+
+    results = []
+    for case in spec:
+        faces = faces_for(case["scan"], case["viewpoint"])
+        img = render_view(faces, case["heading"], case["elevation"],
+                          width, height, vfov)
+        img8 = np.clip(np.round(img), 0, 255).astype(np.uint8)
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+            Image.fromarray(img8).save(
+                os.path.join(out_dir, case["reference_image"]))
+        gpath = os.path.join(golden_dir, case["reference_image"])
+        golden = np.asarray(Image.open(gpath).convert("RGB"))
+        # cv::norm(a, b, CV_L2) / (rows * cols)  (main.cpp:333-334)
+        diff = golden.astype(np.float64) - img8.astype(np.float64)
+        err = float(np.sqrt((diff ** 2).sum()) / (height * width))
+        results.append({**case, "error": err,
+                        "passed": err < tolerance})
+    return results
+
+
 def render_panorama(faces: Sequence[np.ndarray], width: int = 640,
                     height: int = 480,
                     vfov: float = math.radians(60)) -> np.ndarray:

@@ -96,3 +96,77 @@ def test_render_panorama_shape():
     # horizon row (views 12..23) never shows up/down faces at center
     for v in range(12, 24):
         assert pano[v, 5, 6, 0] not in (FACE_UP + 1, FACE_DOWN + 1)
+
+
+# ---------------------------------------------------------------------
+# golden-render regression harness (src/test/main.cpp:302-338)
+# ---------------------------------------------------------------------
+SPEC = "/root/reference/src/test/rendertest_spec.json"
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(SPEC),
+                    reason="reference spec not mounted")
+def test_reference_render_spec_parses(connectivity_dir):
+    """The committed rendertest_spec.json loads with typed fields, the
+    poses reference real viewpoints in the real scan graphs, and each
+    golden filename embeds its own pose."""
+    from dasa_tpu.sim.graph import load_scan_graph
+    from dasa_tpu.sim.render import load_render_spec
+
+    spec = load_render_spec(SPEC)
+    assert len(spec) == 20
+    for case in spec:
+        g = load_scan_graph(case["scan"], connectivity_dir)
+        assert case["viewpoint"] in g.id2ix
+        assert case["reference_image"].startswith(
+            f"{case['scan']}_{case['viewpoint']}_")
+        assert -math.pi / 2 < case["elevation"] < math.pi / 2
+
+
+def test_render_regression_roundtrip(tmp_path):
+    """The regression harness end-to-end on synthetic cubemaps: our own
+    renders written as goldens must score error ~0 (pass), and a
+    corrupted golden must fail the 0.15 per-pixel-normalized L2 gate —
+    so the harness is ready the moment real webgl_imgs/ goldens mount."""
+    from PIL import Image
+
+    from dasa_tpu.sim.render import render_regression, render_view
+
+    rng = np.random.default_rng(0)
+    worlds = {}
+
+    def faces_for(scan, vp):
+        key = (scan, vp)
+        if key not in worlds:
+            worlds[key] = [
+                rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+                .astype(np.float64) for _ in range(6)]
+        return worlds[key]
+
+    spec = [{"scan": "synthA", "viewpoint": f"vp{i}",
+             "heading": 0.7 * i, "elevation": 0.1 * (i - 1),
+             "reference_image": f"case{i}.png"} for i in range(3)]
+    golden = tmp_path / "goldens"
+    golden.mkdir()
+    for case in spec:
+        img = render_view(faces_for(case["scan"], case["viewpoint"]),
+                          case["heading"], case["elevation"], 64, 48)
+        Image.fromarray(np.clip(np.round(img), 0, 255).astype(
+            np.uint8)).save(golden / case["reference_image"])
+
+    out = tmp_path / "sim_imgs"
+    results = render_regression(spec, faces_for, str(golden),
+                                out_dir=str(out), width=64, height=48)
+    assert all(r["passed"] for r in results), results
+    assert all(r["error"] < 1e-9 for r in results)
+    assert (out / "case0.png").exists()
+
+    # corrupt one golden: uniform +32 offset -> err = sqrt(sum(32^2))
+    # / (H*W) = 32*sqrt(3*H*W)/(H*W) ~ 1.0 >> 0.15
+    bad = np.asarray(Image.open(golden / "case1.png")).astype(np.int64)
+    Image.fromarray(np.clip(bad + 32, 0, 255).astype(np.uint8)).save(
+        golden / "case1.png")
+    results = render_regression(spec, faces_for, str(golden),
+                                width=64, height=48)
+    assert not results[1]["passed"]
+    assert results[0]["passed"] and results[2]["passed"]
