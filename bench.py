@@ -46,10 +46,21 @@ FIXTURE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 def analytic_flops_per_agent_step(cfg, avg_episode_len: float) -> float:
     """Matmul FLOPs per (episode, env-step) pair for the training
-    workload: forward + backward (2x forward) across the teacher and
-    sample passes.  Counts the dominant contractions only (transformer
+    workload.  Counts the dominant contractions only (transformer
     layers, LSTMs, dense projections; attention-score terms included,
     elementwise/softmax excluded) — the MFU convention.
+
+    Backward cost (~2x forward) is charged ONLY to modules that
+    receive gradients: the cross-modal stack is forward-only unless
+    d_update_add_layer (cross_forward stop_gradients its outputs,
+    models/bert.py:361-363, mirroring vilmodel.py's update_add_layer
+    gate) and the text stack likewise unless d_transformer_update.
+    Cross-checked against TPU profiler model-FLOP counters at the
+    headline config: analytic 16.07G vs measured 16.30G per agent-step
+    (1.4% low — scripts/trace_ops.py MFU cross-check, BENCH_NOTES.md).
+    The pre-correction formula charged backward to the frozen stacks
+    too and overcounted 2.05x (33.39G), which is what the round-3
+    "78% MFU" claim rested on; the honest figure is ~38%.
 
     Derivation (per policy step, per episode, forward):
       - 3 LXRTX cross layers over (L lang + 36 vision) tokens at
@@ -78,9 +89,14 @@ def analytic_flops_per_agent_step(cfg, avg_episode_len: float) -> float:
         + (2 * Hd * F) + (2 * He * Hd) + (cfg.max_candidates * Hd * F) \
         + Hd * F  # pano att + instr att + cand logits + action embed
     macs_text = cfg.d_la_layers * (12 * H * H * L + 2 * L * L * H)
-    per_step = (macs_cross + macs_vis + macs_lstm + macs_enc2dec
-                + macs_dec + macs_text / max(avg_episode_len, 1.0))
-    return per_step * 2 * 3  # MACs->FLOPs, forward + ~2x backward
+    amort_text = macs_text / max(avg_episode_len, 1.0)
+    groups = [  # (MACs, participates in backward?)
+        (macs_cross + macs_vis, bool(cfg.d_update_add_layer)),
+        (amort_text, bool(cfg.d_transformer_update)),
+        (macs_lstm + macs_enc2dec + macs_dec, True),
+    ]
+    total_macs = sum(m * (3.0 if trains else 1.0) for m, trains in groups)
+    return total_macs * 2  # MACs -> FLOPs
 
 
 def _probe_backend(timeout_s: float) -> None:
@@ -163,7 +179,7 @@ def main():
         prng_impl=os.environ.get("DASA_BENCH_PRNG", "rbg"),
         # continuous batching (agents/stream.py): every scan row stays
         # on a live episode; one optimizer window per iteration.
-        # Headline default — measured 4593 steps/s (34x, 77% MFU) vs
+        # Headline default — measured 4593 steps/s (34x, ~38% MFU) vs
         # 1830 episodic on the same chip/fixture (BENCH_NOTES.md
         # round-3 streaming table).  DASA_BENCH_STREAM=0 for the
         # episodic A/B; _STEPS/_POOL sweep the window length and

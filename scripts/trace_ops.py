@@ -99,6 +99,7 @@ def main():
     args = ap.parse_args()
 
     logdir = args.parse_only or args.out
+    traced_steps = None
     if not args.parse_only:
         import jax
         import numpy as np
@@ -173,10 +174,23 @@ def main():
         # warm the program(s) outside the trace
         one_pair()
         float(np.asarray(agent.losses[-1]))
+        agent.total_env_steps = 0
+        agent._env_steps_log = []
+        consumed_idx0 = len(agent.logs["stream_consumed"])
         with jax.profiler.trace(logdir):
             for _ in range(args.n):
                 one_pair()
             float(np.asarray(agent.losses[-1]))  # value fence
+        traced_steps = agent.env_steps_total()
+        if args.stream:
+            n_eps = float(np.sum(
+                [np.asarray(c) for c in
+                 agent.logs["stream_consumed"][consumed_idx0:]]))
+            traced_avg_ep_len = traced_steps / max(n_eps, 1.0)
+        else:
+            traced_avg_ep_len = traced_steps / (
+                args.n * 2 * cfg.batch_size)
+        traced_cfg = cfg
 
     paths = sorted(glob.glob(os.path.join(
         logdir, "**", "*.trace.json.gz"), recursive=True))
@@ -197,6 +211,29 @@ def main():
                                     key=lambda kv: -kv[1][0]):
         print(f"  {cls:26s} {us/1e3:9.1f} {100*us/total:5.1f}% "
               f"{fl/(us or 1)/1e6:8.1f} {by/(us or 1)/1e3:7.0f}")
+
+    if traced_steps:
+        # MFU cross-check (VERDICT r3 weak #6): the bench's analytic
+        # matmul count vs the profiler's hardware-derived model_flops
+        # over the SAME dispatches.  matmul-class = convolution fusions
+        # + custom-calls (the Pallas LSTM's dots) — the MFU convention
+        # bench.py's formula follows.
+        import bench
+
+        analytic = bench.analytic_flops_per_agent_step(
+            traced_cfg, traced_avg_ep_len)
+        matmul_fl = sum(v[1] for cls, v in per_class.items()
+                        if "convolution" in cls or "custom-call" in cls)
+        print(f"\nMFU cross-check: {traced_steps} agent-steps traced, "
+              f"avg_ep_len={traced_avg_ep_len:.2f}")
+        print(f"  analytic matmul FLOPs/agent-step (bench.py): "
+              f"{analytic / 1e9:.2f} G")
+        print(f"  profiler matmul-class FLOPs/agent-step:       "
+              f"{matmul_fl / traced_steps / 1e9:.2f} G")
+        print(f"  profiler all-class FLOPs/agent-step:          "
+              f"{tflops / traced_steps / 1e9:.2f} G")
+        print(f"  analytic/profiler-matmul ratio: "
+              f"{analytic * traced_steps / (matmul_fl or 1):.3f}")
     print("\ntop 25 ops:")
     for name, (us, fl, by) in sorted(per_name.items(),
                                      key=lambda kv: -kv[1][0])[:25]:
