@@ -261,6 +261,8 @@ def main():
     if ramp_iters:
         float(np.asarray(agent.losses[-1]))
     ramp_dt = time.time() - t0
+    if agent.use_stream_rollout():
+        agent.stream_timer.reset()  # report the timed windows only
 
     # timed windows: 3 x 7 iterations.  Each window's loop fetches
     # NOTHING (device dispatch is async and the fused rollouts never
@@ -313,6 +315,13 @@ def main():
         "windows": [round(r, 1) for r in window_rates],
     }
     print(json.dumps(result))
+    if agent.use_stream_rollout():
+        t = agent.stream_timer
+        phases = ", ".join(
+            f"{k}={v:.2f}s" for k, v in sorted(t.culmu.items(),
+                                               key=lambda kv: -kv[1]))
+        print(f"# host-phase wall time over the {t.iteration} timed "
+              f"windows ({total_dt:.2f}s): {phases}", file=sys.stderr)
     print(f"# warmup(compile)={warm:.1f}s, "
           f"ramp={ramp_iters} iters in {ramp_dt:.1f}s, {n_windows}x"
           f"{iters_per_window} iters in {total_dt:.1f}s, "

@@ -170,6 +170,22 @@ class StreamMixin:
     per-step methods, the device env tables, the jit/AOT caches."""
 
     # ---------------------------------------------------------------
+    # host-side wall-time attribution (utils.misc.Timer): phases of the
+    # per-window host path, so a bench run can attribute the wall-vs-
+    # device-busy gap (BENCH_NOTES.md round-4 MFU cross-check).
+    # settle_sync = blocking read of a lagged window's flow counters
+    # (device wait, not host work); refill/stage = pure host; dispatch
+    # = trace+enqueue of the async window program.
+    # ---------------------------------------------------------------
+    @property
+    def stream_timer(self):
+        t = getattr(self, "_stream_timer", None)
+        if t is None:
+            from dasa_tpu.utils.misc import Timer
+            t = self._stream_timer = Timer()
+        return t
+
+    # ---------------------------------------------------------------
     # gating and geometry
     # ---------------------------------------------------------------
     def use_stream_rollout(self) -> bool:
@@ -843,6 +859,7 @@ class StreamMixin:
         from dasa_tpu.env.device_env import episode_inputs
 
         env = self.env
+        self.stream_timer.tic("refill_fifo")
         while len(st.fifo) < need:
             env.reset()
             ep = episode_inputs(env, self._dev_env)
@@ -861,6 +878,7 @@ class StreamMixin:
                 })
                 st.staged[st.next_uid] = st.fifo[-1]
                 st.next_uid += 1
+        self.stream_timer.toc("refill_fifo")
 
     def _settle_stream_window(self, st: _StreamHost) -> None:
         """Read one lagged window's flow counters and reconcile: chunk
@@ -868,8 +886,10 @@ class StreamMixin:
         (the device never saw them), and the exact leftover/consumed
         counts re-anchor the inventory estimate."""
         sent, flow = st.inflight.popleft()
+        self.stream_timer.tic("settle_sync")
         adm = np.asarray(flow["admitted"])       # (D, 2)
         consumed = np.asarray(flow["consumed"])  # (D, 2)
+        self.stream_timer.toc("settle_sync")
         D = st.geom.D
         # appendleft in exact reverse of the staging pop order
         # (h-major, then device) so re-queued items keep FIFO order
@@ -894,6 +914,7 @@ class StreamMixin:
         sent = [[[st.fifo.popleft() for _ in range(int(f_n[d, h]))]
                  for d in range(D)] for h in (0, 1)]
 
+        self.stream_timer.tic("stage_arrays")
         fresh = {}
         for f in RAW_FIELDS:
             shape = (2, D * E) + np.shape(st.template[f])
@@ -903,8 +924,9 @@ class StreamMixin:
                     for i, it in enumerate(sent[h][d]):
                         arr[h, d * E + i] = it[f]
             fresh[f] = jnp.asarray(arr)
-        return self._stream_place_fresh(fresh), \
-            jnp.asarray(f_n), sent
+        out = self._stream_place_fresh(fresh), jnp.asarray(f_n), sent
+        self.stream_timer.toc("stage_arrays")
+        return out
 
     def _stream_place_fresh(self, fresh):
         if self.mesh is None:
@@ -941,6 +963,7 @@ class StreamMixin:
         fn = self._stream_grad_fn(feedback, use_noise,
                                   self._grad_accum is not None,
                                   st.geom, record=record)
+        self.stream_timer.tic("dispatch")
         if self._grad_accum is None:
             grads, logs, st.carry = fn(
                 self.params, self.tables, self._dev_env.arrays(),
@@ -950,6 +973,8 @@ class StreamMixin:
                 self.params, self.tables, self._dev_env.arrays(),
                 self._grad_accum, st.carry, fresh, f_n, base_rng,
                 ml_w, rl_w, ent_w)
+        self.stream_timer.toc("dispatch")
+        self.stream_timer.step()
         self._grad_accum = grads
         st.inflight.append((sent,
                             {kk: logs[kk] for kk in
