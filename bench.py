@@ -156,7 +156,12 @@ def main():
         env_drop_stage="after_adain", angle_feat_size=128,
         feature_size=2048, d_enc_hidden_size=1024, d_hidden_size=1024,
         critic_dim=1024, d_vl_layers=3, d_la_layers=9, max_input=80,
-        max_action=35, batch_size=20, featdropout=0.4, optim="rms",
+        max_action=35,
+        # reference headline batch (README.md:82); DASA_BENCH_BATCH
+        # widens the stream window (W = 2*batch slots) for MXU-
+        # efficiency A/Bs — a throughput knob like stream_steps/pool
+        batch_size=int(os.environ.get("DASA_BENCH_BATCH", "20")),
+        featdropout=0.4, optim="rms",
         lr=1e-4, use_lr_scheduler=True, ml_weight=0.2,
         connectivity_dir=CONNECTIVITY,
         compute_dtype="bfloat16",
