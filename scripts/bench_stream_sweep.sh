@@ -33,4 +33,10 @@ run stream-p200 DASA_BENCH_STREAM=1 DASA_BENCH_STREAM_POOL=200
 # 5. stream, smaller pool (less per-window text encode; starvation probe
 #    — watch the starved counter in the logs)
 run stream-p110 DASA_BENCH_STREAM=1 DASA_BENCH_STREAM_POOL=110
+# 6-7. window width (W = 2*batch slots): wider windows raise MXU row
+#    utilization of the per-step matmuls (+6% at b32, round-4 notes)
+#    but coarsen optimizer granularity beyond what the quality A/B
+#    validated — throughput-headroom data, not the headline config.
+run stream-b32 DASA_BENCH_STREAM=1 DASA_BENCH_BATCH=32
+run stream-b48 DASA_BENCH_STREAM=1 DASA_BENCH_BATCH=48
 echo "=== sweep done $(date) ===" >> "$LOG"

@@ -45,7 +45,8 @@ def full_cfg(args):
         env_drop_stage="after_adain", angle_feat_size=128,
         feature_size=2048, d_enc_hidden_size=1024, d_hidden_size=1024,
         critic_dim=1024, d_vl_layers=3, d_la_layers=9, max_input=80,
-        max_action=35, batch_size=20, featdropout=0.4, optim="rms",
+        max_action=35, batch_size=args.batch_size, featdropout=0.4,
+        optim="rms",
         lr=1e-4, use_lr_scheduler=True, ml_weight=0.2,
         compute_dtype="bfloat16", fuse_passes="auto", prng_impl="rbg",
         data_dir=args.data_dir, seed=1, name="stream_ab",
@@ -134,6 +135,10 @@ def main():
                     help="tiny dims + CPU (plumbing smoke)")
     ap.add_argument("--regimes", default="episodic,stream")
     ap.add_argument("--seeds", default="1")
+    ap.add_argument("--batch_size", type=int, default=20,
+                    help="stream window width is 2*batch slots; 32 "
+                         "tests the +6%% MXU-width geometry "
+                         "(BENCH_NOTES.md round-4)")
     ap.add_argument("--out", default="/tmp/stream_ab.json")
     args = ap.parse_args()
     if args.fast:
