@@ -395,17 +395,33 @@ _BOOL_FIELDS = {
 }
 
 
+def _str2bool(v: str) -> bool:
+    """The reference README passes explicit values to boolean flags
+    (`--include_vision True`, `--d_update_add_layer True` —
+    README.md:92-136).  The reference's own `type=bool` made any
+    non-empty string truthy (argparse bool('False') is True); we parse
+    the spelling properly so `--flag False` means False."""
+    if v.lower() in ("true", "1", "yes"):
+        return True
+    if v.lower() in ("false", "0", "no"):
+        return False
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {v!r}")
+
+
 def parse_args(argv=None) -> Config:
     """Build a Config from CLI args, accepting both snake_case names and the
-    reference's camelCase spellings (e.g. --batchSize and --batch_size)."""
+    reference's camelCase spellings (e.g. --batchSize and --batch_size).
+    Boolean flags work bare (`--depth_drop`), with an explicit value
+    (`--include_vision True`, the reference README spelling), or negated
+    (`--no_depth_drop`)."""
     parser = argparse.ArgumentParser(description="dasa_tpu")
     defaults = Config()
     for f in dataclasses.fields(Config):
         name = f.name
         default = getattr(defaults, name)
         if name in _BOOL_FIELDS:
-            parser.add_argument(f"--{name}", action="store_const",
-                                const=True, default=default)
+            parser.add_argument(f"--{name}", nargs="?", const=True,
+                                type=_str2bool, default=default)
             parser.add_argument(f"--no_{name}", dest=name,
                                 action="store_const", const=False)
         else:
@@ -416,8 +432,8 @@ def parse_args(argv=None) -> Config:
         if attr not in {f.name for f in dataclasses.fields(Config)}:
             continue
         if attr in _BOOL_FIELDS:
-            parser.add_argument(f"--{ref_name}", dest=attr,
-                                action="store_const", const=True)
+            parser.add_argument(f"--{ref_name}", dest=attr, nargs="?",
+                                const=True, type=_str2bool)
         else:
             default = getattr(defaults, attr)
             typ = type(default) if default is not None else str
