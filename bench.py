@@ -184,9 +184,9 @@ def main():
         prng_impl=os.environ.get("DASA_BENCH_PRNG", "rbg"),
         # continuous batching (agents/stream.py): every scan row stays
         # on a live episode; one optimizer window per iteration.
-        # Headline default — measured 4593 steps/s (34x, ~38% MFU) vs
-        # 1830 episodic on the same chip/fixture (BENCH_NOTES.md
-        # round-3 streaming table).  DASA_BENCH_STREAM=0 for the
+        # Headline default — measured 5129 steps/s (38x, 41.5% MFU,
+        # 1.66% spread) vs 1869-1908 episodic on the same chip/fixture
+        # (BENCH_NOTES.md round-4).  DASA_BENCH_STREAM=0 for the
         # episodic A/B; _STEPS/_POOL sweep the window length and
         # per-half pool capacity (0 = auto, the measured knee).
         rollout_mode=("stream"
