@@ -171,6 +171,23 @@ class Seq2SeqAgent(StreamMixin):
         self._lstm_pallas = (cfg.use_pallas != "never"
                              and jax.default_backend() == "tpu")
         self._init_params(rng_seed)
+        if cfg.pretrain_model_name:
+            # encoder init from the pretraining checkpoint — the
+            # reference's `encoder.bert = premodel.bert` at agent
+            # construction (agent_dg.py:135-188; README.md:94 passes
+            # --pretrain_model_name in the headline command).  Accepts
+            # HF torch dirs / .bin (all four r2rpretrain_class.py
+            # families) and our Pretrainer checkpoints.
+            from dasa_tpu.utils.pretrain_load import (
+                load_pretrained_encoder,
+            )
+
+            self.params, missed = load_pretrained_encoder(
+                self.params, cfg.pretrain_model_name)
+            note = (f"; {len(missed)} unmatched leaves, e.g. "
+                    f"{missed[:3]}" if missed else "")
+            print(f"Initialized encoder from pretrain checkpoint "
+                  f"{cfg.pretrain_model_name}{note}", flush=True)
         self.tx = build_optimizer(cfg, self.params["params"])
         self.opt_state = self.tx.init(self.params["params"])
 

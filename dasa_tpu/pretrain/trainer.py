@@ -79,9 +79,17 @@ class Pretrainer:
         self.dtype = dtype
         import dataclasses
 
-        # the pretrainer's MLM head targets the word tokenizer's vocab
+        # the pretrainer's MLM head targets the word tokenizer's vocab;
+        # pretraining trains the WHOLE model — the reference forces
+        # update_lang_bert/update_add_layer True in its pretrain config
+        # (prevalent_pretrain.py:224-225, nav_dic_pretrain.py:686) and
+        # only flips to the finetune flags at listener init (239-240);
+        # inheriting the listener's d_update_* here would stop-gradient
+        # the cross-modal layers and pretrain nothing but the text stack
         bc = dataclasses.replace(bert_config_from(cfg),
-                                 vocab_size=vocab_size)
+                                 vocab_size=vocab_size,
+                                 update_lang_bert=True,
+                                 update_add_layer=True)
         self.bert_config = bc
         self.model = DicAddActionPreTrain(bc, dtype)
         b, L = 2, cfg.max_input

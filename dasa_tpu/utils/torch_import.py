@@ -329,9 +329,16 @@ def translate_dic_encoder(state, prefix: str = "") -> Dict:
 
 def apply_translated(params: Dict, translated: Dict[Tuple[str, ...], np.ndarray],
                      strict: bool = False,
-                     root: Tuple[str, ...] = ()) -> Tuple[Dict, list]:
+                     root: Tuple[str, ...] = (),
+                     row_slice_embeddings: bool = False) -> Tuple[Dict, list]:
     """Write translated leaves into a (nested-dict) flax param tree,
-    returning (new_tree, list of missed paths).  Shapes must match."""
+    returning (new_tree, list of missed paths).  Shapes must match;
+    with `row_slice_embeddings`, an ``embedding`` leaf may differ from
+    the target in ROW COUNT only: a source with more rows keeps its
+    leading rows (the Pretrainer's vocab appends <MASK>), a source with
+    fewer rows overwrites the target's leading rows (the listener's
+    DicModel keeps the 30522-row BERT table while our Pretrainer sizes
+    it to the word vocab; token ids are shared-prefix either way)."""
     import copy
 
     new = copy.deepcopy(params)
@@ -351,9 +358,20 @@ def apply_translated(params: Dict, translated: Dict[Tuple[str, ...], np.ndarray]
             continue
         cur = node[leaf]
         if tuple(np.shape(cur)) != tuple(value.shape):
-            missed.append("/".join(full) +
-                          f" shape {np.shape(cur)} vs {value.shape}")
-            continue
+            cur_shape = tuple(np.shape(cur))
+            if (row_slice_embeddings and leaf == "embedding"
+                    and value.ndim == len(cur_shape) == 2
+                    and value.shape[1] == cur_shape[1]):
+                if value.shape[0] > cur_shape[0]:
+                    value = value[:cur_shape[0]]
+                else:
+                    merged = np.array(cur, copy=True)
+                    merged[:value.shape[0]] = value.astype(merged.dtype)
+                    value = merged
+            else:
+                missed.append("/".join(full) +
+                              f" shape {np.shape(cur)} vs {value.shape}")
+                continue
         node[leaf] = value.astype(np.asarray(cur).dtype)
     if strict and missed:
         raise KeyError(f"unmatched imports: {missed[:10]}")
