@@ -14,6 +14,7 @@ import argparse
 import dataclasses
 import json
 import os
+import sys
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -337,6 +338,16 @@ class Config:
         if self.prng_impl not in ("threefry", "rbg", "unsafe_rbg"):
             raise ValueError(f"prng_impl must be threefry|rbg|"
                              f"unsafe_rbg, got {self.prng_impl!r}")
+        if self.path_type not in ("planner_path", "player_path",
+                                  "trusted_path"):
+            raise ValueError(f"path_type must be planner_path|"
+                             f"player_path|trusted_path, got "
+                             f"{self.path_type!r}")
+        if self.history not in ("none", "target", "oracle_ans",
+                                "nav_q_oracle_ans", "all"):
+            raise ValueError(f"history must be none|target|oracle_ans|"
+                             f"nav_q_oracle_ans|all, got "
+                             f"{self.history!r}")
         if self.agent_type == "mt" and not (
                 self.include_vision and self.encoder_type == "Dic"):
             # the MT decoder reads the DicEncoder's per-view BERT tokens
@@ -408,6 +419,23 @@ def _str2bool(v: str) -> bool:
     raise argparse.ArgumentTypeError(f"expected a boolean, got {v!r}")
 
 
+# --train modes that run the NDH/CVDN task (train.py dispatch)
+NDH_MODES = ("ndh", "ndhlistener", "validndh")
+
+
+def ndh_budgets(path_type: str, history: str) -> tuple:
+    """(max_action, max_input) the reference derives from the NDH task
+    variant (ndhtrain.py:421-444, the uncommented values): episodes get
+    20 steps on planner paths, 40 on player/trusted paths; the input
+    budget scales with how much dialog history the instruction keeps —
+    1 (<EOS> only) / 3 (<TAR> target <EOS>) / 70 (oracle answer) /
+    80 (question + answer) / 300 (the whole dialog)."""
+    max_action = 20 if path_type == "planner_path" else 40
+    max_input = {"none": 1, "target": 3, "oracle_ans": 70,
+                 "nav_q_oracle_ans": 80, "all": 300}[history]
+    return max_action, max_input
+
+
 def parse_args(argv=None) -> Config:
     """Build a Config from CLI args, accepting both snake_case names and the
     reference's camelCase spellings (e.g. --batchSize and --batch_size).
@@ -440,4 +468,21 @@ def parse_args(argv=None) -> Config:
             parser.add_argument(f"--{ref_name}", dest=attr, type=typ)
     ns = parser.parse_args(argv)
     kw = {f.name: getattr(ns, f.name) for f in dataclasses.fields(Config)}
-    return Config(**kw)
+    cfg = Config(**kw)
+    if cfg.train in NDH_MODES:
+        # NDH derives its episode/input budgets from path_type/history
+        # (ndhtrain.py:421-444) — R2R's 20/80 defaults would silently
+        # truncate `--history all` dialogs.  Explicit --max_action /
+        # --max_input flags still win.
+        given = {a[2:].split("=", 1)[0]
+                 for a in (sys.argv[1:] if argv is None else argv)
+                 if a.startswith("--")}
+        max_action, max_input = ndh_budgets(cfg.path_type, cfg.history)
+        upd = {}
+        if not given & {"max_action", "maxAction", "no_max_action"}:
+            upd["max_action"] = max_action
+        if not given & {"max_input", "maxInput", "no_max_input"}:
+            upd["max_input"] = max_input
+        if upd:
+            cfg = cfg.replace(**upd)
+    return cfg

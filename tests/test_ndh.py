@@ -89,3 +89,50 @@ def test_ndh_items_run_through_env(connectivity_dir):
             break
         obs = env.step(a)
     assert np.allclose(obs.distance, 0.0, atol=1e-5)
+
+
+def test_ndh_budget_defaults():
+    """NDH modes derive max_action/max_input from path_type/history
+    (ndhtrain.py:421-444) unless explicitly overridden — an
+    `--history all` run must keep full dialogs, not R2R's 80 tokens."""
+    from dasa_tpu.config import ndh_budgets, parse_args
+
+    cfg = parse_args(["--train", "ndh"])  # trusted_path + all defaults
+    assert (cfg.max_action, cfg.max_input) == (40, 300)
+    cfg = parse_args(["--train", "ndh", "--path_type", "planner_path",
+                      "--history", "oracle_ans"])
+    assert (cfg.max_action, cfg.max_input) == (20, 70)
+    for hist, mi in (("none", 1), ("target", 3), ("oracle_ans", 70),
+                     ("nav_q_oracle_ans", 80), ("all", 300)):
+        assert ndh_budgets("player_path", hist) == (40, mi)
+    # explicit flags win, in either spelling
+    cfg = parse_args(["--train", "validndh", "--maxAction", "25"])
+    assert (cfg.max_action, cfg.max_input) == (25, 300)
+    cfg = parse_args(["--train", "ndh", "--max_input=120"])
+    assert (cfg.max_action, cfg.max_input) == (40, 120)
+    # R2R modes keep their own defaults
+    cfg = parse_args(["--train", "listener"])
+    assert (cfg.max_action, cfg.max_input) == (20, 80)
+
+
+def test_ndh_long_dialog_not_truncated(connectivity_dir):
+    """Under the derived `all` budget the tokenizer keeps a dialog far
+    past R2R's 80 tokens."""
+    from dasa_tpu.config import ndh_budgets
+
+    item = make_cvdn_items(connectivity_dir, 1)[0]
+    item["dialog_history"] = [
+        {"nav_idx": t, "role": ("navigator" if t % 2 == 0 else "oracle"),
+         "message": "step " + " ".join(f"word{t}x{j}" for j in range(12))}
+        for t in range(12)
+    ]
+    items = convert_ndh_items([item], path_type="trusted_path",
+                              history="all")
+    vocab = build_vocab(items, min_count=1)
+    _ma, max_input = ndh_budgets("trusted_path", "all")
+    tok = Tokenizer(vocab, encoding_length=max_input)
+    enc = tok.encode_sentence(items[0]["instructions"][0])
+    pad = tok.word_to_index["<PAD>"]
+    assert (enc == pad).any(), "derived budget must hold the full dialog"
+    length = int((enc != pad).sum())
+    assert length > 80, "dialog should exceed the R2R input budget"
