@@ -149,6 +149,14 @@ def main():
     from dasa_tpu.utils import Tokenizer, build_vocab
 
     fast = os.environ.get("DASA_BENCH_FAST") == "1"
+    # DASA_BENCH_SELFTRAIN=1: time the FULL headline-command workload
+    # (README.md:82-98, --train auglistener --selfTrain --speaker ...)
+    # — org/aug accumulate alternation with speaker back-translation
+    # inference inside the timed loop (agent_dg.py:656-675).  Episodic
+    # combined regime: the streamed window cannot host the mid-stream
+    # relabel, and the reference's update structure IS the org/aug
+    # pair (train.py:226-243).
+    selftrain = os.environ.get("DASA_BENCH_SELFTRAIN") == "1"
     cfg = Config(
         encoder_type="Dic", include_vision=True, adain_type="channel",
         ab_type="a", a_type="sigmoid", use_shift=True,
@@ -191,7 +199,9 @@ def main():
         # per-half pool capacity (0 = auto, the measured knee).
         rollout_mode=("stream"
                       if os.environ.get("DASA_BENCH_STREAM", "1") == "1"
-                      else "episodic"),
+                      and not selftrain else "episodic"),
+        self_train=selftrain,
+        ml_weight_org=0.4, ml_weight_aug=1.2,  # README.md:83-84
         stream_steps=int(os.environ.get("DASA_BENCH_STREAM_STEPS", "0")),
         stream_pool=int(os.environ.get("DASA_BENCH_STREAM_POOL", "0")),
     )
@@ -231,16 +241,59 @@ def main():
     agent = Seq2SeqAgent(cfg, env, feature_db, depth_db=depth_db,
                          vocab_size=len(tok))
 
-    def one_iter():
-        agent.zero_grad()
-        agent.accumulate_gradient("sample")
-        agent.optim_step()
+    if selftrain:
+        from dasa_tpu.agents.speaker import SpeakerAgent
+
+        # aug env: a second pinned synthetic split over the same scans
+        # (the reference's aug_paths.json role); the speaker decodes
+        # with the shared featdrop mask inside every aug accumulate
+        aug_fixture = FIXTURE.replace(".json", "_aug.json")
+        if os.path.exists(aug_fixture) and not fast:
+            with open(aug_fixture) as f:
+                aug_data = json.load(f)
+        else:
+            aug_data = generate_synthetic_dataset(
+                scans, 40, connectivity_dir=CONNECTIVITY, min_hops=4,
+                max_hops=6, seed=17, path_id_base=100000)
+            if not fast:
+                with open(aug_fixture, "w") as f:
+                    json.dump(aug_data, f)
+        aug_items = expand_instructions(aug_data, tok,
+                                        max_input=cfg.max_input)
+        aug_env = R2REnv(feature_db, aug_items,
+                         batch_size=cfg.batch_size,
+                         connectivity_dir=CONNECTIVITY,
+                         max_candidates=cfg.max_candidates,
+                         max_input=cfg.max_input, depth_db=depth_db)
+        speaker = SpeakerAgent(cfg, env, feature_db,
+                               vocab_size=len(tok), tok=tok)
+
+        def one_iter():
+            # the reference's aug alternation (train.py:226-243): one
+            # optimizer step per org+aug accumulate pair, speaker
+            # back-translation on the aug half
+            agent.zero_grad()
+            agent.env = env
+            agent.accumulate_gradient("sample",
+                                      ml_weight=cfg.ml_weight_org)
+            agent.env = aug_env
+            agent.accumulate_gradient("sample",
+                                      ml_weight=cfg.ml_weight_aug,
+                                      speaker=speaker)
+            agent.optim_step()
+    else:
+        def one_iter():
+            agent.zero_grad()
+            agent.accumulate_gradient("sample")
+            agent.optim_step()
 
     # warmup: compile the programs the timed loop will use (device path:
     # the two rollout-grad programs, compiled concurrently, + tree-add
     # + apply)
     t0 = time.time()
-    if agent.use_stream_rollout():
+    if selftrain:
+        pass  # the combined+speaker programs compile on first one_iter
+    elif agent.use_stream_rollout():
         agent.precompile_stream()
     elif agent.use_device_rollout():
         agent.precompile_device()
@@ -305,13 +358,21 @@ def main():
                               [consumed_idx0:]]))
         avg_ep_len = total_steps / max(n_eps, 1.0)
     else:
+        # episodes per iteration: one accumulate call = the 2B-wide
+        # combined pair; selfTrain runs TWO accumulate calls (org+aug)
+        eps_per_iter = (4 if selftrain else 2) * cfg.batch_size
         avg_ep_len = (total_steps / (n_windows * iters_per_window
-                                     * 2 * cfg.batch_size))
+                                     * eps_per_iter))
     flops_step = analytic_flops_per_agent_step(cfg, avg_ep_len)
     mfu = steps_per_sec * flops_step / PEAK_FLOPS
 
     result = {
         "metric": "agent_steps_per_sec",
+        # the selfTrain arm counts LISTENER agent-steps only; the
+        # speaker decode runs untallied inside the timed loop, and the
+        # analytic MFU formula likewise excludes speaker FLOPs (the
+        # reported mfu is a lower bound for this arm)
+        **({"arm": "selftrain"} if selftrain else {}),
         "value": round(steps_per_sec, 2),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / REF_AGENT_STEPS_PER_SEC, 3),

@@ -1254,11 +1254,14 @@ class Seq2SeqAgent(StreamMixin):
 
     def _device_combined_args(self, feedback: str,
                               train_ml: Optional[float],
-                              train_rl: bool):
+                              train_rl: bool, speaker=None):
         """Two env minibatches (teacher-ML half, policy-RL half) and the
         per-slot weight vectors for the combined program.  Advances the
         env iterator twice and the rollout rng counter by two, matching
-        the split passes' data/rng stream structure."""
+        the split passes' data/rng stream structure.  `speaker`
+        back-translates EACH half's minibatch with that half's featdrop
+        mask, like the reference's per-vl_rollout infer_batch
+        (agent_dg.py:656-675)."""
         from dasa_tpu.env.device_env import episode_inputs
 
         cfg = self.cfg
@@ -1266,24 +1269,29 @@ class Seq2SeqAgent(StreamMixin):
         dev = self._device_env_tables()
         B = cfg.batch_size
 
-        def grab():
+        rng_t = jax.random.fold_in(self._base_rng, self._rollout_counter)
+        rng_s = jax.random.fold_in(self._base_rng,
+                                   self._rollout_counter + 1)
+        self._rollout_counter += 2
+        if cfg.consistent_drop or speaker is not None:
+            # one featdrop mask per pass (values identical to the split
+            # programs' _noise_fn draws — tests/test_combined.py)
+            noise = jnp.stack([self._noise_fn()(rng_t),
+                               self._noise_fn()(rng_s)])
+        else:
+            noise = jnp.ones((2, cfg.feature_size), self.dtype)
+
+        def grab(rng, noise_row):
             env.reset()
+            if speaker is not None:
+                speaker.relabel_batch(env, noise_row, rng)
             ep = episode_inputs(env, dev)
             st = env._static
             return (ep, st["instr"].copy(), ~st["pad_mask"],
                     st["seq_len"].copy())
 
-        ep1, instr1, valid1, len1 = grab()  # teacher-ML half
-        ep2, instr2, valid2, len2 = grab()  # policy-RL half
-        rng_t = jax.random.fold_in(self._base_rng, self._rollout_counter)
-        rng_s = jax.random.fold_in(self._base_rng,
-                                   self._rollout_counter + 1)
-        self._rollout_counter += 2
-        if cfg.consistent_drop:  # one featdrop mask per pass
-            noise = jnp.stack([self._noise_fn()(rng_t),
-                               self._noise_fn()(rng_s)])
-        else:
-            noise = jnp.ones((2, cfg.feature_size), self.dtype)
+        ep1, instr1, valid1, len1 = grab(rng_t, noise[0])  # teacher-ML
+        ep2, instr2, valid2, len2 = grab(rng_s, noise[1])  # policy-RL
         env_noise = jnp.repeat(noise, B, axis=0)[:, None, :]
 
         mlw = float(train_ml if train_ml is not None else 0.0) / B
@@ -1318,11 +1326,13 @@ class Seq2SeqAgent(StreamMixin):
                 and self.use_device_rollout())
 
     def device_rollout_combined(self, train_ml: Optional[float],
-                                feedback: str = "sample") -> None:
+                                feedback: str = "sample",
+                                speaker=None) -> None:
         """Both passes of one accumulate_gradient('sample') call as a
         single fused act+grad dispatch; fetches nothing."""
-        use_noise = self.cfg.consistent_drop
-        args = self._device_combined_args(feedback, train_ml, True)
+        use_noise = self.cfg.consistent_drop or speaker is not None
+        args = self._device_combined_args(feedback, train_ml, True,
+                                          speaker=speaker)
         if self._grad_accum is None:
             grads, logs = self._device_combined_grad_fn(
                 feedback, use_noise, False)(
@@ -1365,23 +1375,33 @@ class Seq2SeqAgent(StreamMixin):
 
     def _device_rollout_args(self, feedback: str,
                              train_ml: Optional[float],
-                             train_rl: bool):
+                             train_rl: bool, speaker=None):
         """Reset the env to the next minibatch and assemble the fused
-        rollout-grad program's inputs (advances the rollout rng)."""
+        rollout-grad program's inputs (advances the rollout rng).
+
+        `speaker` triggers selfTrain back-translation (agent_dg.py:
+        656-675): the minibatch's instructions are replaced by the
+        jitted speaker decode BEFORE the fused program runs — the
+        episode itself still needs no host mid-episode, so the fast
+        path stays fully fused.  The featdrop mask is shared with the
+        speaker like the reference (noise drawn even when
+        consistent_drop is off, matching the host rollout)."""
         from dasa_tpu.env.device_env import episode_inputs
 
         cfg = self.cfg
         env = self.env
         env.reset()
         dev = self._device_env_tables()
-        ep = episode_inputs(env, dev)
 
         base_rng = jax.random.fold_in(self._base_rng,
                                       self._rollout_counter)
         self._rollout_counter += 1
-        use_noise = cfg.consistent_drop
+        use_noise = cfg.consistent_drop or speaker is not None
         env_noise = (self._noise_fn()(base_rng) if use_noise
                      else jnp.ones((cfg.feature_size,), self.dtype))
+        if speaker is not None:
+            speaker.relabel_batch(env, env_noise, base_rng)
+        ep = episode_inputs(env, dev)
 
         instr = self._put_batch(env._static["instr"])
         valid = self._put_batch(~env._static["pad_mask"])
@@ -1492,15 +1512,18 @@ class Seq2SeqAgent(StreamMixin):
 
     def device_rollout(self, train_ml: Optional[float] = None,
                        train_rl: bool = True,
-                       feedback: Optional[str] = None) -> None:
+                       feedback: Optional[str] = None,
+                       speaker=None) -> None:
         """One training episode batch, fully on device: dispatches a
         single fused act+grad program and accumulates its gradients;
-        fetches nothing."""
+        fetches nothing.  `speaker` relabels the batch first
+        (selfTrain back-translation, agent_dg.py:656-675)."""
         cfg = self.cfg
         feedback = feedback or self.feedback
         train_rl = train_rl and feedback == "sample"
-        use_noise = cfg.consistent_drop
-        args = self._device_rollout_args(feedback, train_ml, train_rl)
+        use_noise = cfg.consistent_drop or speaker is not None
+        args = self._device_rollout_args(feedback, train_ml, train_rl,
+                                         speaker=speaker)
         if self._grad_accum is None:
             grads, logs = self._device_grad_fn(feedback, use_noise)(
                 self.params, self.tables, self._dev_env.arrays(), *args)
@@ -1876,11 +1899,17 @@ class Seq2SeqAgent(StreamMixin):
             ml_weight = cfg.ml_weight
         speaker = kwargs.pop("speaker", None)
         defer = kwargs.pop("defer_pairs", False)
-        if (speaker is None and not kwargs and not defer
-                and self.use_device_rollout()):
+        # selfTrain back-translation runs on the fused device paths too
+        # (the speaker relabels BEFORE the episode; nothing needs the
+        # host mid-episode) — only the streamed regime falls back to
+        # the host rollout, since its slots refill mid-window.
+        if (not kwargs and not defer and self.use_device_rollout()
+                and not (speaker is not None
+                         and self.use_stream_rollout())):
             if feedback == "teacher":
                 self.device_rollout(train_ml=cfg.teacher_weight,
-                                    train_rl=False, feedback="teacher")
+                                    train_rl=False, feedback="teacher",
+                                    speaker=speaker)
             elif feedback == "sample":
                 if self.use_stream_rollout():
                     # continuous batching: one streamed window replaces
@@ -1892,13 +1921,16 @@ class Seq2SeqAgent(StreamMixin):
                     # half rides the sampled scan's weight reads for
                     # free (BENCH_NOTES.md round-3 batch-width probe)
                     self.device_rollout_combined(ml_weight,
-                                                 feedback="sample")
+                                                 feedback="sample",
+                                                 speaker=speaker)
                 else:
                     self.device_rollout(train_ml=ml_weight,
                                         train_rl=False,
-                                        feedback="teacher")
+                                        feedback="teacher",
+                                        speaker=speaker)
                     self.device_rollout(train_ml=None, train_rl=True,
-                                        feedback="sample")
+                                        feedback="sample",
+                                        speaker=speaker)
             else:
                 raise ValueError(feedback)
             return

@@ -210,3 +210,51 @@ def test_device_rollout_training_reduces_loss(world, connectivity_dir):
         losses.append(float(np.asarray(agent.losses[-1])))
     assert np.mean(losses[-4:]) < np.mean(losses[:4]) * 0.9, losses
     assert agent.env_steps_total() > 0
+
+
+def test_device_selftrain_grads_match_host(world, connectivity_dir):
+    """selfTrain back-translation on the fused device paths
+    (agent_dg.py:656-675): the speaker relabels the minibatch BEFORE
+    the episode, so the fast path stays fused.  The split device
+    program must reproduce the host act/replay gradients exactly
+    (same rng stream, same shared featdrop mask, same greedy speaker
+    decode); the combined 2B-wide program must also relabel and train
+    (its noise stream legitimately differs — CLAUDE.md)."""
+    from dasa_tpu.agents.speaker import SpeakerAgent
+
+    cfg_kw = dict(encoder_type="Dic", include_vision=True,
+                  adain_type="channel", ab_type="a", a_type="sigmoid",
+                  consistent_drop=True, max_action=4, batch_size=2,
+                  self_train=True)
+    data_dir, feature_db, tok = world
+
+    def grads_with(mode, fuse):
+        cfg = tiny_cfg(device_rollout=mode, fuse_passes=fuse, **cfg_kw)
+        env = make_env(world, cfg, connectivity_dir)
+        agent = Seq2SeqAgent(cfg, env, feature_db, vocab_size=len(tok))
+        speaker = SpeakerAgent(cfg, env, feature_db,
+                               vocab_size=len(tok), tok=tok)
+        orig = {it["instr_id"]: np.asarray(it["instr_encoding"]).copy()
+                for it in env.data}
+        agent.zero_grad()
+        agent.accumulate_gradient("sample", speaker=speaker)
+        agent.flush_replays()
+        # relabel_batch swaps copies into env.batch; originals untouched
+        changed = [it for it in env.batch
+                   if not np.array_equal(
+                       np.asarray(it["instr_encoding"]).reshape(-1),
+                       orig[it["instr_id"]].reshape(-1))]
+        assert changed, "speaker did not replace the instructions"
+        loss = float(np.sum([np.asarray(x) for x in agent.losses]))
+        return jax.tree_util.tree_leaves(agent._grad_accum), loss
+
+    g_host, l_host = grads_with("never", "never")
+    g_dev, l_dev = grads_with("auto", "never")
+    assert np.isfinite(l_dev)
+    np.testing.assert_allclose(l_dev, l_host, rtol=1e-4)
+    for a, b in zip(g_host, g_dev):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=1e-6)
+    # combined 2B-wide program with back-translation: runs + finite
+    _g_comb, l_comb = grads_with("auto", "auto")
+    assert np.isfinite(l_comb)
