@@ -470,8 +470,12 @@ def state_factored_search(agent: Seq2SeqAgent, completion_size: int = 1,
                        reverse=True)[:completion_size]
         # the reference traverses to each emitted completion
         # (update_traversed_lists(completed_list)) so the physical
-        # exploration path reaches the endpoints, then closes the loop
-        # back to the start
+        # exploration path reaches the endpoints.  The final stitch
+        # back to the start viewpoint is NOT in the reference (its
+        # traversed list ends at the last completion endpoint) — it is
+        # an intentional deviation kept so dijk_path obeys the same
+        # starts-and-ends-at-origin output contract as our
+        # dijkstra_search, which downstream score/submit code assumes.
         for st in final:
             stitch(i, st["next_viewpoint"])
         stitch(i, result["dijk_path"][0])
