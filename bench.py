@@ -157,6 +157,14 @@ def main():
     # relabel, and the reference's update structure IS the org/aug
     # pair (train.py:226-243).
     selftrain = os.environ.get("DASA_BENCH_SELFTRAIN") == "1"
+    # DASA_BENCH_FINETUNE=1: the finetune-ladder config (BASELINE
+    # config #5, README.md:101-118): the same auglistener+selfTrain
+    # loop with the cross-modal add-layers unfrozen
+    # (--d_update_add_layer True), batchSize 2, lr 2e-6.  The analytic
+    # FLOPs formula charges the cross stack's backward when the flag is
+    # set (test_bench_formula.py).
+    finetune = os.environ.get("DASA_BENCH_FINETUNE") == "1"
+    selftrain = selftrain or finetune
     cfg = Config(
         encoder_type="Dic", include_vision=True, adain_type="channel",
         ab_type="a", a_type="sigmoid", use_shift=True,
@@ -168,9 +176,11 @@ def main():
         # reference headline batch (README.md:82); DASA_BENCH_BATCH
         # widens the stream window (W = 2*batch slots) for MXU-
         # efficiency A/Bs — a throughput knob like stream_steps/pool
-        batch_size=int(os.environ.get("DASA_BENCH_BATCH", "20")),
+        batch_size=int(os.environ.get("DASA_BENCH_BATCH",
+                                      "2" if finetune else "20")),
         featdropout=0.4, optim="rms",
-        lr=1e-4, use_lr_scheduler=True, ml_weight=0.2,
+        lr=2e-6 if finetune else 1e-4,  # README.md:115
+        use_lr_scheduler=True, ml_weight=0.2,
         connectivity_dir=CONNECTIVITY,
         compute_dtype="bfloat16",
         # the headline config's 35-step fused scan fits HBM without
@@ -202,6 +212,7 @@ def main():
                       and not selftrain else "episodic"),
         self_train=selftrain,
         ml_weight_org=0.4, ml_weight_aug=1.2,  # README.md:83-84
+        d_update_add_layer=finetune,  # README.md:104
         stream_steps=int(os.environ.get("DASA_BENCH_STREAM_STEPS", "0")),
         stream_pool=int(os.environ.get("DASA_BENCH_STREAM_POOL", "0")),
     )
@@ -372,7 +383,8 @@ def main():
         # speaker decode runs untallied inside the timed loop, and the
         # analytic MFU formula likewise excludes speaker FLOPs (the
         # reported mfu is a lower bound for this arm)
-        **({"arm": "selftrain"} if selftrain else {}),
+        **({"arm": "finetune"} if finetune
+           else {"arm": "selftrain"} if selftrain else {}),
         "value": round(steps_per_sec, 2),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / REF_AGENT_STEPS_PER_SEC, 3),

@@ -258,3 +258,39 @@ def test_device_selftrain_grads_match_host(world, connectivity_dir):
     # combined 2B-wide program with back-translation: runs + finite
     _g_comb, l_comb = grads_with("auto", "auto")
     assert np.isfinite(l_comb)
+
+
+@pytest.mark.parametrize("unfreeze", [False, True])
+def test_finetune_flag_unfreezes_cross_stack(world, connectivity_dir,
+                                             unfreeze):
+    """--d_update_add_layer (the finetune ladder, README.md:101-118)
+    must actually unfreeze the cross-modal stack's grads through the
+    combined program — and leave them stop-gradient'd (zero) when off.
+    The text stack stays frozen either way (d_transformer_update off).
+    The analytic bench FLOPs formula gates on exactly this behavior."""
+    cfg = tiny_cfg(encoder_type="Dic", include_vision=True,
+                   adain_type="channel", ab_type="a", a_type="sigmoid",
+                   consistent_drop=True, max_action=4, batch_size=2,
+                   fuse_passes="auto", d_update_add_layer=unfreeze)
+    data_dir, feature_db, tok = world
+    env = make_env(world, cfg, connectivity_dir)
+    agent = Seq2SeqAgent(cfg, env, feature_db, vocab_size=len(tok))
+    assert agent.use_combined_rollout()
+    agent.zero_grad()
+    agent.accumulate_gradient("sample")
+    grads = jax.tree_util.tree_map(np.asarray, agent._grad_accum)
+    bert = grads["encoder"]["bert"]
+
+    def total(tree):
+        return float(np.sum([np.abs(g).sum()
+                             for g in jax.tree_util.tree_leaves(tree)]))
+
+    cross = total(bert["addlayer_0"]) + total(bert["vision_encoder"])
+    text = total(bert["lalayer_0"])
+    decoder = total(grads["decoder"])
+    assert decoder > 0
+    assert text == 0.0, "text stack must stay frozen"
+    if unfreeze:
+        assert cross > 0, "finetune flag did not unfreeze the cross stack"
+    else:
+        assert cross == 0.0, "cross stack trained with the flag off"
