@@ -47,7 +47,20 @@ def full_cfg(args):
         critic_dim=1024, d_vl_layers=3, d_la_layers=9, max_input=80,
         max_action=35, batch_size=args.batch_size, featdropout=0.4,
         optim="rms",
-        lr=1e-4, use_lr_scheduler=True, ml_weight=0.2,
+        # --lr/--warm_steps/--decay_* override the reference schedule
+        # for the LARGE-UPDATE arms: the schedule is denominated in
+        # optimizer ITERATIONS, so at stream-auto granularity (~1456
+        # agent-steps/update vs the episodic pair's ~235) an unscaled
+        # run spends all 600k A/B steps inside warmup at <0.4x peak LR.
+        # Scaling warmup/decay by 1/k re-aligns them in agent-steps,
+        # and lr by sqrt(k) (the adaptive-optimizer large-batch rule —
+        # RMSProp's per-parameter normalization makes the update
+        # magnitude ~invariant to gradient scale, so the linear SGD
+        # rule overshoots; sqrt tracks the reduced gradient noise).
+        lr=args.lr or 1e-4, use_lr_scheduler=True, ml_weight=0.2,
+        warm_steps=args.warm_steps or 1000,
+        decay_start=args.decay_start or 4000,
+        decay_intervals=args.decay_intervals or 2000,
         compute_dtype="bfloat16", fuse_passes="auto", prng_impl="rbg",
         data_dir=args.data_dir, seed=1, name="stream_ab",
     )
@@ -140,6 +153,12 @@ def main():
                          "tests the +6%% MXU-width geometry "
                          "(BENCH_NOTES.md round-4)")
     ap.add_argument("--out", default="/tmp/stream_ab.json")
+    ap.add_argument("--lr", type=float, default=None,
+                    help="override lr (sqrt(update-size ratio) rule "
+                         "for the large-update arms)")
+    ap.add_argument("--warm_steps", type=int, default=None)
+    ap.add_argument("--decay_start", type=int, default=None)
+    ap.add_argument("--decay_intervals", type=int, default=None)
     args = ap.parse_args()
     if args.fast:
         import jax
@@ -162,9 +181,14 @@ def main():
     out = {"milestones": milestones, "runs": []}
     for seed in [int(s) for s in args.seeds.split(",")]:
         for regime in args.regimes.split(","):
-            run = run_regime(full_cfg(args).replace(seed=seed), regime,
-                             milestones, log)
+            cfg = full_cfg(args).replace(seed=seed)
+            run = run_regime(cfg, regime, milestones, log)
             run["seed"] = seed
+            run["schedule"] = {"lr": cfg.lr,
+                               "warm_steps": cfg.warm_steps,
+                               "decay_start": cfg.decay_start,
+                               "decay_intervals": cfg.decay_intervals,
+                               "batch_size": cfg.batch_size}
             out["runs"].append(run)
             with open(args.out, "w") as f:
                 json.dump(out, f, indent=2)
