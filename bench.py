@@ -189,7 +189,11 @@ def main():
         # the Config default; "percept" is the bounded-memory fallback
         # for larger models.
         remat=os.environ.get("DASA_BENCH_REMAT", "never"),
-        # A/B knobs for the round-3 levers (both default-on in Config)
+        # A/B knobs for the round-3 levers (both default-on in Config).
+        # PALLAS=always (fused shift/AdaIN kernels) measured 4913 vs
+        # 5131 steps/s at the headline config (round 5, -4.2%): XLA's
+        # in-scan fusions beat the hand kernels here, so "auto" keeps
+        # enabling only the LSTM kernel (BENCH_NOTES.md round-5).
         use_pallas=os.environ.get("DASA_BENCH_PALLAS", "auto"),
         bf16_grad_accum=os.environ.get("DASA_BENCH_BF16ACC", "1") == "1",
         # fused teacher+sample accumulate pair: 1364 -> 1445 steps/s
