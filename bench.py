@@ -219,6 +219,10 @@ def main():
         d_update_add_layer=finetune,  # README.md:104
         stream_steps=int(os.environ.get("DASA_BENCH_STREAM_STEPS", "0")),
         stream_pool=int(os.environ.get("DASA_BENCH_STREAM_POOL", "0")),
+        # window-scan unroll factor (must divide the window length,
+        # 35 by default -> 5 or 7): amortizes the backward's weight-
+        # grad accumulator HBM traffic across k steps
+        stream_unroll=int(os.environ.get("DASA_BENCH_UNROLL", "1")),
     )
     if fast:  # plumbing smoke for CPU runs, not a benchmark
         cfg = cfg.replace(d_la_layers=1, d_vl_layers=1, batch_size=4,

@@ -501,9 +501,16 @@ class StreamMixin:
                    carry["age"], carry["node"], carry["view"],
                    DecoderState(carry["h"], carry["c"], carry["h1"]),
                    carry["noise"], jnp.zeros((2,), jnp.int32))
+            # unroll>1 keeps the backward's weight-grad accumulators
+            # in VMEM across consecutive steps (config.stream_unroll);
+            # XLA requires S % unroll == 0 for no remainder iteration,
+            # so fall back to 1 when it doesn't divide
+            unroll = cfg.stream_unroll if S % cfg.stream_unroll == 0 \
+                else 1
             (slot_ep, alive, age, node, view, state, noise, cur), outs \
                 = jax.lax.scan(step, sc0,
-                               jnp.arange(S, dtype=jnp.int32))
+                               jnp.arange(S, dtype=jnp.int32),
+                               unroll=unroll)
 
             # ---- window-edge bootstrap: critic value for slots still
             # mid-flight (the reference's maxAction bootstrap applied

@@ -247,6 +247,16 @@ class Config:
     stream_pool: int = 0           # fresh episodes staged per pass half
                                    # per window (0 => auto-sized from
                                    # the dataset's mean path length)
+    # lax.scan unroll factor for the stream window scan: k>1 lets XLA
+    # keep the per-step weight-grad accumulators and decoder carry in
+    # registers/VMEM across k consecutive steps instead of round-
+    # tripping HBM every step (the elementwise/loop-fusion class sits
+    # at the HBM roofline — BENCH_NOTES.md round-3 trace).  Numerics
+    # are unchanged (same per-step ops, same rng folds); compile time
+    # grows with k.  Only the stream scan: the episodic device
+    # program's early-exit cond measured SLOWER unrolled
+    # (agents/seq2seq.py:1001).
+    stream_unroll: int = 1
     # PRNG bit generator for every random draw (dropout masks,
     # categorical sampling).  threefry: JAX's default, stable across
     # versions/backends; rbg: hardware RNG, much cheaper per-step
@@ -332,6 +342,9 @@ class Config:
         if self.rollout_mode not in ("episodic", "stream"):
             raise ValueError(f"rollout_mode must be episodic|stream, "
                              f"got {self.rollout_mode!r}")
+        if self.stream_unroll < 1:
+            raise ValueError(f"stream_unroll must be >= 1, got "
+                             f"{self.stream_unroll}")
         if self.search_type not in ("dijkstra", "state_factored"):
             raise ValueError(f"search_type must be dijkstra|"
                              f"state_factored, got {self.search_type!r}")

@@ -413,6 +413,34 @@ def test_stream_trains_as_well_per_agent_step(world, connectivity_dir):
     assert s_last < 1.5 * e_last, (s_last, e_last)
 
 
+def test_stream_unroll_is_pure_codegen(world, connectivity_dir):
+    """stream_unroll is a throughput knob only: the unrolled window
+    scan must produce the same losses and the same trained parameters
+    as unroll=1 (same per-step ops, same rng folds — only XLA's loop
+    codegen changes)."""
+    def run(unroll):
+        cfg = tiny_cfg(ml_weight=1.0, stream_steps=6,
+                       stream_unroll=unroll)
+        env = make_env(world, cfg, connectivity_dir)
+        data_dir, feature_db, tok = world
+        agent = Seq2SeqAgent(cfg, env, feature_db, vocab_size=len(tok))
+        assert agent.use_stream_rollout()
+        for _ in range(3):
+            agent.zero_grad()
+            agent.accumulate_gradient("sample")
+            agent.optim_step()
+        losses = [float(np.asarray(x)) for x in agent.logs["ml_loss"]]
+        leaves = [np.asarray(x) for x in
+                  jax.tree_util.tree_leaves(agent.params["params"])]
+        return losses, leaves
+
+    l1, p1 = run(1)
+    l3, p3 = run(3)
+    np.testing.assert_allclose(l3, l1, rtol=1e-5, atol=1e-7)
+    for a, b in zip(p1, p3):
+        np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-7)
+
+
 def test_stream_mesh_trajectories_and_exactness(world,
                                                 connectivity_dir):
     """Data-parallel streaming (shard_map over a 4-device mesh,
