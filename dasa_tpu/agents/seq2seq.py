@@ -188,7 +188,31 @@ class Seq2SeqAgent(StreamMixin):
                     f"{missed[:3]}" if missed else "")
             print(f"Initialized encoder from pretrain checkpoint "
                   f"{cfg.pretrain_model_name}{note}", flush=True)
-        self.tx = build_optimizer(cfg, self.params["params"])
+        opt_cfg = cfg
+        if cfg.lr_scale_rule == "sqrt" and cfg.rollout_mode == "stream":
+            # sqrt large-batch rule for the stream regime's coarser
+            # optimizer updates (one update per W*S agent-steps vs the
+            # episodic pair's 2B*mean_len — agent_dg.py:1347-1384):
+            # lr *= sqrt(k), schedule iterations /= k so warmup/decay
+            # stay aligned in agent-steps.  Validated at the headline
+            # config: closes stream-auto's val_seen deficit vs
+            # episodic training (BENCH_NOTES.md round-5).
+            s_len = cfg.stream_steps or cfg.max_action
+            k = max(1.0, s_len / self._stream_mean_len())
+            opt_cfg = cfg.replace(
+                lr=cfg.lr * float(np.sqrt(k)),
+                warm_steps=int(np.ceil(cfg.warm_steps / k)),
+                decay_start=int(np.ceil(cfg.decay_start / k)),
+                decay_intervals=max(1, round(cfg.decay_intervals / k)))
+            print(f"lr_scale_rule=sqrt: k={k:.2f} lr={opt_cfg.lr:.3g} "
+                  f"warm={opt_cfg.warm_steps} "
+                  f"decay={opt_cfg.decay_start}/"
+                  f"{opt_cfg.decay_intervals}", flush=True)
+        self.applied_lr_schedule = {
+            "lr": opt_cfg.lr, "warm_steps": opt_cfg.warm_steps,
+            "decay_start": opt_cfg.decay_start,
+            "decay_intervals": opt_cfg.decay_intervals}
+        self.tx = build_optimizer(opt_cfg, self.params["params"])
         self.opt_state = self.tx.init(self.params["params"])
 
         # device-resident tables

@@ -257,6 +257,16 @@ class Config:
     # program's early-exit cond measured SLOWER unrolled
     # (agents/seq2seq.py:1001).
     stream_unroll: int = 1
+    # large-update LR rule for the stream regime: "sqrt" scales lr by
+    # sqrt(k) and the warmup/decay schedule iterations by 1/k, where
+    # k is the update-size ratio vs the reference's episodic
+    # accumulate pair (one stream update is W*S agent-steps vs the
+    # pair's 2B*mean_episode_len, so k = S / dataset mean episode
+    # length).  Measured to close stream-auto's val_seen deficit at
+    # matched agent-steps (BENCH_NOTES.md round-5).  "none" keeps the
+    # published reference schedule untouched (bit-comparable
+    # semantics, the default).
+    lr_scale_rule: str = "none"    # none | sqrt
     # PRNG bit generator for every random draw (dropout masks,
     # categorical sampling).  threefry: JAX's default, stable across
     # versions/backends; rbg: hardware RNG, much cheaper per-step
@@ -345,6 +355,9 @@ class Config:
         if self.stream_unroll < 1:
             raise ValueError(f"stream_unroll must be >= 1, got "
                              f"{self.stream_unroll}")
+        if self.lr_scale_rule not in ("none", "sqrt"):
+            raise ValueError(f"lr_scale_rule must be none|sqrt, got "
+                             f"{self.lr_scale_rule!r}")
         if self.search_type not in ("dijkstra", "state_factored"):
             raise ValueError(f"search_type must be dijkstra|"
                              f"state_factored, got {self.search_type!r}")

@@ -413,6 +413,42 @@ def test_stream_trains_as_well_per_agent_step(world, connectivity_dir):
     assert s_last < 1.5 * e_last, (s_last, e_last)
 
 
+def test_lr_scale_rule_sqrt(world, connectivity_dir):
+    """lr_scale_rule=sqrt derives k from the stream geometry (window
+    scan steps / dataset mean episode length) and applies the sqrt
+    large-batch rule to lr + 1/k to the schedule; episodic mode and
+    rule=none are no-ops (BENCH_NOTES.md round-5 recipe)."""
+    kw = dict(ml_weight=1.0, stream_steps=6, use_lr_scheduler=True,
+              lr=1e-3, warm_steps=100, decay_start=400,
+              decay_intervals=200)
+    data_dir, feature_db, tok = world
+
+    def build(**extra):
+        cfg = tiny_cfg(**{**kw, **extra})
+        env = make_env(world, cfg, connectivity_dir)
+        return cfg, env, Seq2SeqAgent(cfg, env, feature_db,
+                                      vocab_size=len(tok))
+
+    cfg, env, agent = build(lr_scale_rule="sqrt")
+    mean_len = np.mean([len(it["path"]) for it in env.data])
+    k = max(1.0, 6 / mean_len)
+    sched = agent.applied_lr_schedule
+    assert np.isclose(sched["lr"], 1e-3 * np.sqrt(k))
+    assert sched["warm_steps"] == int(np.ceil(100 / k))
+    assert sched["decay_start"] == int(np.ceil(400 / k))
+    assert sched["decay_intervals"] == max(1, round(200 / k))
+    # the scaled agent still trains (finite loss through optim_step)
+    agent.zero_grad()
+    agent.accumulate_gradient("sample")
+    agent.optim_step()
+    assert np.isfinite(float(np.asarray(agent.losses[-1])))
+
+    _, _, plain = build(lr_scale_rule="none")
+    assert plain.applied_lr_schedule["lr"] == 1e-3
+    _, _, epis = build(lr_scale_rule="sqrt", rollout_mode="episodic")
+    assert epis.applied_lr_schedule["lr"] == 1e-3
+
+
 def test_stream_unroll_is_pure_codegen(world, connectivity_dir):
     """stream_unroll is a throughput knob only: the unrolled window
     scan must produce the same losses and the same trained parameters
