@@ -349,7 +349,8 @@ def test_progress_monitor_head(world, connectivity_dir, pm_type):
     assert pm_losses[-1] < pm_losses[0]
 
 
-@pytest.mark.parametrize("encoder_type", ["BEncoder", "CEncoder"])
+@pytest.mark.parametrize("encoder_type", [
+    "BEncoder", pytest.param("CEncoder", marks=pytest.mark.heavy)])
 def test_bc_encoder_types(world, connectivity_dir, encoder_type):
     """--encoderType BEncoder/CEncoder (model.py:88-247): text-only BERT
     embeddings (C: projected to wemb) feed the plain LSTM path; training
@@ -396,8 +397,11 @@ def test_bencoder_n_layer_concat(world, connectivity_dir):
 @pytest.mark.parametrize("cfg_kw", [
     {},  # plain EncoderLSTM path
     # flagship DASA config: Dic encoder + AdaIN channel + consistent drop
-    dict(encoder_type="Dic", include_vision=True, adain_type="channel",
-         ab_type="a", a_type="sigmoid", consistent_drop=True),
+    pytest.param(
+        dict(encoder_type="Dic", include_vision=True,
+             adain_type="channel", ab_type="a", a_type="sigmoid",
+             consistent_drop=True),
+        marks=pytest.mark.heavy),
 ])
 def test_data_parallel_training_matches_single_device(world,
                                                       connectivity_dir,
@@ -431,8 +435,11 @@ def test_data_parallel_training_matches_single_device(world,
     np.testing.assert_allclose(sharded, single, rtol=2e-4, atol=1e-6)
 
 
-@pytest.mark.parametrize("agent_type", ["advanced", "kvmem", "new",
-                                        "mutan", "mcatt", "mt"])
+@pytest.mark.parametrize("agent_type", [
+    "advanced", "kvmem", "new",
+    pytest.param("mutan", marks=pytest.mark.heavy),
+    pytest.param("mcatt", marks=pytest.mark.heavy),
+    pytest.param("mt", marks=pytest.mark.heavy)])
 def test_variant_agents_train_and_eval(world, connectivity_dir,
                                        agent_type):
     """Each reference --agent_type (train.py:24-46) runs end-to-end:
@@ -463,9 +470,11 @@ def test_variant_agents_train_and_eval(world, connectivity_dir,
     assert len(results) == env.size()
 
 
-@pytest.mark.parametrize("encoder_type", ["Transformer", "Gpt",
-                                          "BertImg", "BertAdd",
-                                          "BertMix"])
+@pytest.mark.parametrize("encoder_type", [
+    pytest.param("Transformer", marks=pytest.mark.heavy), "Gpt",
+    pytest.param("BertImg", marks=pytest.mark.heavy),
+    pytest.param("BertAdd", marks=pytest.mark.heavy),
+    pytest.param("BertMix", marks=pytest.mark.heavy)])
 def test_legacy_encoder_types(world, connectivity_dir, encoder_type):
     """Legacy encoder zoo (models/legacy.py; reference r2rmodel.py
     352-456, 559-634, 999-1124, 1172-1331, 1755-1904): each

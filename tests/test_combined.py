@@ -81,15 +81,17 @@ def make_agent(world, cfg, connectivity_dir, seed=7):
     {"normalize_loss": "batch"},
     # max_action > teacher_len: the combined program narrows to the
     # sample half for steps [t1, T) — must still match the split sum
-    {"max_action": 14},
+    pytest.param({"max_action": 14}, marks=pytest.mark.heavy),
     # T - t1 >= 4 and B >= 4: the runtime-compacted half-width tail
     # (lax.cond + gather) compiles in and must stay exact whichever
     # branch fires
-    {"max_action": 16, "batch_size": 4},
+    pytest.param({"max_action": 16, "batch_size": 4},
+                 marks=pytest.mark.heavy),
     # the MT agent's soft-distance KL term: combined computes it as
     # per-half means x the half's ml row weight — must equal the split
     # programs' per-pass means (incl. through the segmented tail)
-    {"agent_type": "mt", "max_action": 14},
+    pytest.param({"agent_type": "mt", "max_action": 14},
+                 marks=pytest.mark.heavy),
 ])
 def test_combined_matches_split_pass_sum(world, connectivity_dir, extra):
     """grads(combined 2B program) == grads(teacher pass) + grads(argmax

@@ -106,12 +106,14 @@ def test_device_obs_matches_host_env(world, connectivity_dir):
 
 
 @pytest.mark.parametrize("feedback,max_action", [
-    ("teacher", 4), ("sample", 4),
+    pytest.param("teacher", 4, marks=pytest.mark.heavy),
+    ("sample", 4),  # the fast-tier representative
     # max_action > 8 exercises the in-program {8, T} bucket cond: the
     # teacher walk ends within 8 steps (short branch) while the
     # untrained sampling policy wanders past 8 (long branch), each of
     # which must match the host's bucket choice and rng folds
-    ("teacher", 12), ("sample", 12),
+    pytest.param("teacher", 12, marks=pytest.mark.heavy),
+    pytest.param("sample", 12, marks=pytest.mark.heavy),
 ])
 def test_device_rollout_grads_match_host(world, connectivity_dir,
                                          feedback, max_action):
@@ -212,6 +214,7 @@ def test_device_rollout_training_reduces_loss(world, connectivity_dir):
     assert agent.env_steps_total() > 0
 
 
+@pytest.mark.heavy
 def test_device_selftrain_grads_match_host(world, connectivity_dir):
     """selfTrain back-translation on the fused device paths
     (agent_dg.py:656-675): the speaker relabels the minibatch BEFORE

@@ -17,6 +17,7 @@ def test_mesh_and_sharding_helpers():
     assert y["w"].sharding.is_fully_replicated
 
 
+@pytest.mark.heavy
 def test_dryrun_multichip_two_devices():
     """The driver's dryrun contract at n=2 (n=8 runs via __main__).
 

@@ -75,6 +75,7 @@ def test_masking_distribution(world):
     assert 0.7 < n_masktok / max(n_masked, 1) < 0.9  # ~80% -> [MASK]
 
 
+@pytest.mark.heavy
 def test_pretrain_step_reduces_loss(world):
     env, feature_db, tok = world
     cfg = Config(feature_size=DIM, angle_feat_size=8, max_input=L,
@@ -164,6 +165,7 @@ def test_isnext_sampling_distribution(world):
                 assert int(batch["next_view"][j]) != true_v
 
 
+@pytest.mark.heavy
 def test_pretrain_isnext_reduces_loss(world):
     env, feature_db, tok = world
     cfg = Config(feature_size=DIM, angle_feat_size=8, max_input=L,

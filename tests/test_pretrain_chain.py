@@ -19,6 +19,10 @@ import re
 import numpy as np
 import pytest
 
+# the chain tests train/convert real-ish stacks: the slowest file
+# on the 1-core box (fixture alone ~9 min) — full-tier only
+pytestmark = pytest.mark.heavy
+
 from dasa_tpu.config import Config, parse_args
 from dasa_tpu.data.datasets import make_synthetic_task
 from dasa_tpu.train import trainer

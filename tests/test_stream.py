@@ -374,6 +374,7 @@ def test_stream_training_reduces_loss(world, connectivity_dir):
     assert np.mean(ml[-4:]) < np.mean(ml[:4]) * 0.9, ml
 
 
+@pytest.mark.heavy
 def test_stream_trains_as_well_per_agent_step(world, connectivity_dir):
     """CI-scale stream-vs-episodic quality A/B (VERDICT r3 weak #3):
     at MATCHED agent-step counts, streamed training's teacher-forcing
@@ -449,6 +450,7 @@ def test_lr_scale_rule_sqrt(world, connectivity_dir):
     assert epis.applied_lr_schedule["lr"] == 1e-3
 
 
+@pytest.mark.heavy
 def test_stream_unroll_is_pure_codegen(world, connectivity_dir):
     """stream_unroll is a throughput knob only: the unrolled window
     scan must produce the same losses and the same trained parameters

@@ -111,6 +111,7 @@ def test_speaker_trainer_mode(data_dir, tmp_path):
     assert 0.0 <= out["val_seen"]["bleu"] <= 1.0
 
 
+@pytest.mark.heavy
 def test_listener_stream_train_and_validate(data_dir, tmp_path):
     """rollout_mode=stream through the FULL trainer path: streamed
     training windows (org env), streamed validation (stream_test_loop
